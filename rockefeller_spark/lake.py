@@ -1,0 +1,353 @@
+"""`icelake` — an Iceberg-semantics lake table layer on plain Parquet.
+
+No Iceberg/Delta jars exist in this sandbox (verified: nothing matching
+iceberg/delta/hudi under ``$SPARK_HOME/jars``), so this module reproduces
+the Iceberg semantics the north rule exercises, with the same public shape
+(``append / overwrite_buckets / read / evolve / snapshot``) so a real
+Iceberg catalog can be swapped in later without touching callers:
+
+- **Atomic snapshot commits.** A commit writes a new immutable metadata
+  JSON ``metadata/v{N}.json`` via exclusive create, then atomically renames
+  a new ``version-hint.text`` over the old one. A crash at ANY point before
+  the hint swap leaves the previous snapshot fully intact; newly written
+  data files become ignorable orphans (exactly Iceberg's model).
+- **File-level pruning stats.** Every data file is pinned to one key
+  bucket (``bucket = pmod(xxhash64(conv_id), n_buckets)``) and carries
+  row-count + lsn min/max from its Parquet footer, so MERGE rewrites only
+  files whose bucket intersects the batch's touched keys — O(batch), not
+  O(table), at 10^10 events.
+- **Additive schema evolution without rewrite.** New columns land only in
+  metadata + new files; old files are read with the current schema and
+  null-filled (Spark's explicit-schema Parquet read does this natively).
+- **Epoch idempotence.** Each commit may record a ``(stream_id, epoch)``;
+  a replayed ``foreachBatch`` epoch is detected and skipped, making the
+  streaming sink exactly-once across restarts.
+- **Time travel.** Any previous snapshot is readable by id.
+
+The reference's sink was per-row INSERT + per-entity commit + per-row
+rollback (``/root/reference/scripts/collector.py:54-69,139-141``); here a
+commit is an all-or-nothing snapshot and bad rows are pre-filtered, never
+rolled back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HINT_FILE = "version-hint.text"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same version first (optimistic
+    concurrency, single-winner)."""
+
+
+@dataclass
+class DataFile:
+    path: str          # relative to table root
+    bucket: int | None
+    rows: int
+    min_lsn: int | None = None
+    max_lsn: int | None = None
+
+    def to_json(self) -> dict[str, Any]:
+        return {"path": self.path, "bucket": self.bucket, "rows": self.rows,
+                "min_lsn": self.min_lsn, "max_lsn": self.max_lsn}
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "DataFile":
+        return DataFile(d["path"], d.get("bucket"), d["rows"],
+                        d.get("min_lsn"), d.get("max_lsn"))
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    schema: T.StructType
+    n_buckets: int
+    bucket_col: str
+    files: list[DataFile]
+    committed_epochs: dict[str, int] = field(default_factory=dict)
+    lineage: dict[str, Any] = field(default_factory=dict)
+    timestamp_ms: int = 0
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "format_version": 1,
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "schema": json.loads(self.schema.json()),
+            "n_buckets": self.n_buckets,
+            "bucket_col": self.bucket_col,
+            "files": [f.to_json() for f in self.files],
+            "committed_epochs": self.committed_epochs,
+            "lineage": self.lineage,
+            "timestamp_ms": self.timestamp_ms,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            schema=T.StructType.fromJson(d["schema"]),
+            n_buckets=d["n_buckets"],
+            bucket_col=d.get("bucket_col", "conv_id"),
+            files=[DataFile.from_json(f) for f in d["files"]],
+            committed_epochs=dict(d.get("committed_epochs", {})),
+            lineage=d.get("lineage", {}),
+            timestamp_ms=d.get("timestamp_ms", 0),
+        )
+
+
+def bucket_expr(col: str, n_buckets: int):
+    """The table's key-bucketing function: stable across engines and scale."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    """Handle on one icelake table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.data_dir = os.path.join(self.path, "data")
+        self.meta_dir = os.path.join(self.path, "metadata")
+
+    # ---------------------------------------------------------------- setup
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, schema: T.StructType,
+               n_buckets: int = 32, bucket_col: str = "conv_id") -> "LakeTable":
+        t = cls(spark, path)
+        if os.path.exists(os.path.join(t.meta_dir, HINT_FILE)):
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        snap = Snapshot(0, None, schema, n_buckets, bucket_col, [],
+                        timestamp_ms=int(time.time() * 1000))
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        t.current()  # raises if missing
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(path), "metadata", HINT_FILE))
+
+    # ------------------------------------------------------------- snapshots
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version:08d}.json")
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, HINT_FILE)) as fh:
+            return int(fh.read().strip())
+
+    def current(self) -> Snapshot:
+        return self.snapshot(self.current_version())
+
+    def snapshot(self, version: int) -> Snapshot:
+        with open(self._meta_path(version)) as fh:
+            return Snapshot.from_json(json.load(fh))
+
+    def history(self) -> list[Snapshot]:
+        out = []
+        v = 0
+        while os.path.exists(self._meta_path(v)):
+            out.append(self.snapshot(v))
+            v += 1
+        return out
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        """The commit point. Exclusive-create of the metadata file wins the
+        version race; the hint swap is a single atomic rename."""
+        meta_path = self._meta_path(snap.snapshot_id)
+        try:
+            fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"snapshot {snap.snapshot_id} already committed") from e
+        with os.fdopen(fd, "w") as fh:
+            json.dump(snap.to_json(), fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        tmp_hint = os.path.join(self.meta_dir, f".{HINT_FILE}.{uuid.uuid4().hex}")
+        with open(tmp_hint, "w") as fh:
+            fh.write(str(snap.snapshot_id))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp_hint, os.path.join(self.meta_dir, HINT_FILE))
+
+    # ------------------------------------------------------------- data files
+    def _stage_write(self, df: DataFrame, n_buckets: int, bucket_col: str,
+                     write_salt: int = 0) -> list[DataFile]:
+        """Write ``df`` as bucket-partitioned Parquet under data/ and return
+        the new DataFile entries (stats from Parquet footers, as Iceberg
+        collects them at commit).
+
+        ``write_salt`` > 0 additionally spreads each bucket over
+        ``write_salt`` write tasks — the salted repartitioning that defuses
+        a hot conversation monopolizing one writer at 10^10 events.
+        """
+        stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        out = df.withColumn("_bucket", bucket_expr(bucket_col, n_buckets))
+        if write_salt > 1:
+            salt = F.pmod(F.xxhash64(F.col("turn_idx") if "turn_idx" in df.columns
+                                     else F.rand()), F.lit(write_salt))
+            out = out.repartition(F.col("_bucket"), salt)
+        else:
+            out = out.repartition(F.col("_bucket"))
+        out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+        files: list[DataFile] = []
+        for dirname in sorted(os.listdir(stage)):
+            if not dirname.startswith("_bucket="):
+                continue
+            bucket = int(dirname.split("=", 1)[1])
+            bdir = os.path.join(stage, dirname)
+            for fname in sorted(os.listdir(bdir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                new_name = f"{uuid.uuid4().hex}-b{bucket:05d}.parquet"
+                dst = os.path.join(self.data_dir, new_name)
+                shutil.move(os.path.join(bdir, fname), dst)
+                meta = pq.ParquetFile(dst).metadata
+                min_lsn = max_lsn = None
+                try:
+                    idx = [meta.schema.column(i).name
+                           for i in range(meta.num_columns)].index("_lsn")
+                    mins, maxs = [], []
+                    for rg in range(meta.num_row_groups):
+                        st = meta.row_group(rg).column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                    if mins:
+                        min_lsn, max_lsn = int(min(mins)), int(max(maxs))
+                except ValueError:
+                    pass
+                files.append(DataFile(os.path.join("data", new_name), bucket,
+                                      meta.num_rows, min_lsn, max_lsn))
+        shutil.rmtree(stage)
+        return files
+
+    # ---------------------------------------------------------------- commits
+    def commit(self, adds: list[DataFile], remove_paths: set[str],
+               *, stream_id: str | None = None, epoch: int | None = None,
+               new_schema: T.StructType | None = None,
+               lineage: dict[str, Any] | None = None,
+               expected_version: int | None = None) -> Snapshot:
+        base_version = self.current_version()
+        if expected_version is not None and base_version != expected_version:
+            raise CommitConflictError(
+                f"table moved: expected v{expected_version}, found v{base_version}")
+        base = self.snapshot(base_version)
+        kept = [f for f in base.files if f.path not in remove_paths]
+        epochs = dict(base.committed_epochs)
+        if stream_id is not None and epoch is not None:
+            epochs[stream_id] = max(epoch, epochs.get(stream_id, -1))
+        snap = Snapshot(
+            snapshot_id=base_version + 1,
+            parent_id=base_version,
+            schema=new_schema or base.schema,
+            n_buckets=base.n_buckets,
+            bucket_col=base.bucket_col,
+            files=kept + adds,
+            committed_epochs=epochs,
+            lineage=lineage or {},
+            timestamp_ms=int(time.time() * 1000),
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    def epoch_committed(self, stream_id: str, epoch: int) -> bool:
+        return self.current().committed_epochs.get(stream_id, -1) >= epoch
+
+    def append(self, df: DataFrame, *, write_salt: int = 0,
+               lineage: dict[str, Any] | None = None) -> Snapshot:
+        snap = self.current()
+        adds = self._stage_write(df, snap.n_buckets, snap.bucket_col, write_salt)
+        return self.commit(adds, set(), lineage=lineage)
+
+    def overwrite_buckets(self, df: DataFrame, buckets: set[int], *,
+                          stream_id: str | None = None, epoch: int | None = None,
+                          new_schema: T.StructType | None = None,
+                          write_salt: int = 0,
+                          lineage: dict[str, Any] | None = None) -> Snapshot:
+        """Copy-on-write: replace exactly the files of ``buckets`` with the
+        rows of ``df`` (which must contain only those buckets)."""
+        snap = self.current()
+        remove = {f.path for f in snap.files
+                  if f.bucket is not None and f.bucket in buckets}
+        adds = self._stage_write(df, snap.n_buckets, snap.bucket_col, write_salt)
+        bad = {f.bucket for f in adds} - buckets
+        if bad:
+            raise ValueError(f"overwrite df contains untouched buckets {sorted(bad)}")
+        return self.commit(adds, remove, stream_id=stream_id, epoch=epoch,
+                           new_schema=new_schema, lineage=lineage,
+                           expected_version=snap.snapshot_id)
+
+    def evolve(self, new_schema: T.StructType) -> Snapshot:
+        """Additive schema evolution: metadata-only commit, zero rewrite."""
+        from rockefeller_spark.schema import evolve_additive
+        snap = self.current()
+        merged = evolve_additive(snap.schema, new_schema)
+        return self.commit([], set(), new_schema=merged)
+
+    # ------------------------------------------------------------------ reads
+    def read(self, snapshot_id: int | None = None,
+             buckets: set[int] | None = None) -> DataFrame:
+        """Snapshot-pinned read. Old files lacking newer (evolved) columns
+        are null-filled because the read uses the snapshot's full schema.
+        ``buckets`` prunes to the named key buckets via file stats — no
+        scan of untouched files ever happens."""
+        snap = self.snapshot(snapshot_id) if snapshot_id is not None else self.current()
+        files = snap.files
+        if buckets is not None:
+            files = [f for f in files if f.bucket in buckets]
+        if not files:
+            return self.spark.createDataFrame([], snap.schema)
+        paths = [os.path.join(self.path, f.path) for f in files]
+        return self.spark.read.schema(snap.schema).parquet(*paths)
+
+    def stats(self) -> dict[str, Any]:
+        snap = self.current()
+        return {
+            "snapshot_id": snap.snapshot_id,
+            "n_files": len(snap.files),
+            "rows": sum(f.rows for f in snap.files),
+            "n_buckets": snap.n_buckets,
+            "max_lsn": max((f.max_lsn for f in snap.files
+                            if f.max_lsn is not None), default=None),
+        }
+
+    def applied_lsns(self) -> DataFrame:
+        """Dedup-state view (FIXTURES.md §4): per-bucket high-water mark of
+        applied LSNs, derived from file stats — the engine's durable
+        ``applied_lsns(part_key, max_lsn, epoch)`` table."""
+        snap = self.current()
+        hwm: dict[int, int] = {}
+        for f in snap.files:
+            if f.bucket is not None and f.max_lsn is not None:
+                hwm[f.bucket] = max(hwm.get(f.bucket, -1), f.max_lsn)
+        rows = [(str(b), lsn, snap.snapshot_id) for b, lsn in sorted(hwm.items())]
+        schema = T.StructType([
+            T.StructField("part_key", T.StringType(), False),
+            T.StructField("max_lsn", T.LongType(), False),
+            T.StructField("epoch", T.LongType(), False),
+        ])
+        return self.spark.createDataFrame(rows, schema)

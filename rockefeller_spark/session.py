@@ -1,0 +1,51 @@
+"""SparkSession construction with engine defaults.
+
+Succeeds the reference's env/config dispatch
+(``/root/reference/scripts/tools/db_connect.py:103-139``): there are no DB
+credentials here — configuration is Spark configs, and the only knobs are
+parallelism and shuffle sizing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Timezone is pinned to UTC so timestamps round-trip bit-identically
+# between Spark, Parquet, pandas and the DuckDB oracle.
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # Timestamps written as INT64 micros so DuckDB/pandas read them exactly.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+}
+
+
+def get_spark(app_name: str = "rockefeller_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``. At cluster scale the same code ships via
+    ``spark-submit --py-files`` and ``master`` is left to the submitter.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(ENGINE_CONFS)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

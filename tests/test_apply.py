@@ -1,0 +1,126 @@
+"""End-to-end CDC apply vs the pandas oracle + the core invariants:
+idempotence, batching invariance, permutation invariance, delete/reinsert,
+salted-LWW equivalence."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from rockefeller_spark import gen
+from rockefeller_spark.cdc import dedupe_lww, dedupe_lww_salted
+from rockefeller_spark.lake import LakeTable
+from rockefeller_spark.merge import apply_batch, bootstrap, read_state
+from rockefeller_spark.oracle import replay
+from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    if "ts" in pdf.columns:
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.floor("us")
+    return pdf
+
+
+def _assert_state_equals_oracle(table, events_pdf, base_pdf=None):
+    got = _canon(read_state(table).toPandas())
+    want = _canon(replay(events_pdf, base_pdf))
+    got = got[want.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"), STORED_TRANSCRIPT_SCHEMA,
+                            n_buckets=8)
+
+
+def test_single_batch_apply_equals_oracle(spark, table):
+    ev = gen.gen_change_events(spark, n_events=4000, n_convs=60, seed=11)
+    apply_batch(table, ev)
+    _assert_state_equals_oracle(table, ev.toPandas())
+
+
+def test_apply_over_base_state(spark, table):
+    base = gen.gen_transcripts(spark, n_convs=40, max_turns=10, seed=5)
+    bootstrap(table, base)
+    ev = gen.gen_change_events(spark, n_events=1500, n_convs=40, max_turns=10, seed=5)
+    apply_batch(table, ev)
+    _assert_state_equals_oracle(table, ev.toPandas(), base.toPandas())
+
+
+def test_idempotence_same_batch_twice(spark, table):
+    ev = gen.gen_change_events(spark, n_events=1000, n_convs=30, seed=2)
+    apply_batch(table, ev, stream_id="s", epoch=0)
+    before = _canon(read_state(table).toPandas())
+    r = apply_batch(table, ev, stream_id="s", epoch=0)
+    assert r.skipped
+    # and even WITHOUT the epoch gate, re-apply is a semantic no-op
+    apply_batch(table, ev)
+    after = _canon(read_state(table).toPandas())
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_batching_invariance_and_out_of_order_batches(spark, table):
+    ev = gen.gen_change_events(spark, n_events=3000, n_convs=50, seed=9)
+    pdf = ev.toPandas()
+    # split into 3 micro-batches by hash, applied in a scrambled order
+    parts = [pdf[pdf.lsn % 3 == k] for k in (2, 0, 1)]
+    for part in parts:
+        apply_batch(table, spark.createDataFrame(part, ev.schema))
+    _assert_state_equals_oracle(table, pdf)
+
+
+def test_delete_then_reinsert_and_late_stale_event(spark, table):
+    from datetime import datetime, timezone
+    et = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (1, "I", "cA", 0, "user", "hello", None, None, et),
+        (5, "D", "cA", 0, None, None, None, None, et),
+        (7, "I", "cA", 0, "user", "back", None, None, et),
+    ]
+    ev_schema = gen.expected_schema()
+    b1 = spark.createDataFrame([rows[0], rows[2]], ev_schema)
+    b2 = spark.createDataFrame([rows[1]], ev_schema)  # delete arrives LAST but is stale
+    apply_batch(table, b1)
+    apply_batch(table, b2)
+    got = read_state(table).toPandas()
+    assert got.text.tolist() == ["back"]
+    # a late, even staler update must not resurrect anything
+    b3 = spark.createDataFrame([(2, "U", "cA", 0, "user", "stale", None, None, et)], ev_schema)
+    apply_batch(table, b3)
+    assert read_state(table).toPandas().text.tolist() == ["back"]
+    # tombstone wins while it is newest
+    b4 = spark.createDataFrame([(9, "D", "cA", 0, None, None, None, None, et)], ev_schema)
+    apply_batch(table, b4)
+    assert read_state(table).count() == 0
+
+
+def test_salted_lww_equivalent_to_direct(spark):
+    ev = gen.gen_change_events(spark, n_events=5000, n_convs=20, seed=13)
+    a = dedupe_lww(ev).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = dedupe_lww_salted(ev, n_salts=7).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_file_pruning_small_batch_touches_few_files(spark, table):
+    big = gen.gen_change_events(spark, n_events=5000, n_convs=200, seed=21)
+    apply_batch(table, big)
+    files_before = {f.path for f in table.current().files}
+    # a one-conversation batch must rewrite only that conversation's bucket
+    from datetime import datetime, timezone
+    one = spark.createDataFrame(
+        [(10**6, "U", "c00000000", 0, "user", "patch", None, None,
+          datetime(2024, 1, 1, tzinfo=timezone.utc))],
+        gen.expected_schema())
+    r = apply_batch(table, one)
+    assert len(r.buckets_touched) == 1
+    files_after = {f.path for f in table.current().files}
+    untouched_kept = files_before & files_after
+    assert len(untouched_kept) >= len(files_before) - len(files_before) // 2
+    # and the untouched files carried over byte-identical (same path = same file)
+    touched_bucket = r.buckets_touched[0]
+    for f in table.current().files:
+        if f.bucket != touched_bucket:
+            assert f.path in files_before
