@@ -115,32 +115,43 @@ def apply_batch(table: LakeTable, events: DataFrame, *,
               .agg(F.max_by(w, F.col("_lsn")).alias("_w"))
               .select(*S.KEY_COLS, *[F.col(f"_w.{c}").alias(c) for c in rest]))
 
-    lineage: dict[str, Any] = {"stream_id": stream_id, "epoch": epoch,
-                               "buckets_touched": sorted(touched)}
-    new_snap = table.overwrite_buckets(
-        merged, touched, stream_id=stream_id, epoch=epoch,
-        new_schema=new_schema, write_salt=write_salt, lineage=lineage)
+    # Stage the data files FIRST (expensive, crash-safe: uncommitted files
+    # are ignorable orphans), derive per-bucket lineage from their footer
+    # stats (no extra job), then commit everything in one atomic snapshot.
+    adds = table._stage_write(merged, snap.n_buckets, snap.bucket_col, write_salt)
+    bad = {f.bucket for f in adds} - touched
+    if bad:
+        raise ValueError(f"merge produced rows in untouched buckets {sorted(bad)}")
+    per_bucket: dict[str, dict[str, Any]] = {}
+    for f in adds:
+        b = per_bucket.setdefault(str(f.bucket), {"rows": 0, "files": 0,
+                                                  "min_lsn": None, "max_lsn": None})
+        b["rows"] += f.rows
+        b["files"] += 1
+        if f.min_lsn is not None:
+            b["min_lsn"] = f.min_lsn if b["min_lsn"] is None else min(b["min_lsn"], f.min_lsn)
+            b["max_lsn"] = f.max_lsn if b["max_lsn"] is None else max(b["max_lsn"], f.max_lsn)
 
-    res = ApplyResult(new_snap, buckets_touched=sorted(touched))
+    events_in = None
     if obs is not None:
         try:
-            got = obs.get
-            res.events_in = got.get("n")
+            events_in = obs.get.get("n")
         except Exception:
             pass
-    # per-bucket lineage from the commit's own file stats — no extra job
-    adds = [f for f in new_snap.files if f.path not in {x.path for x in snap.files}]
-    per_bucket: dict[str, int] = {}
-    for f in adds:
-        per_bucket[str(f.bucket)] = per_bucket.get(str(f.bucket), 0) + f.rows
-    res.rows_written = sum(per_bucket.values())
-    lineage["rows_written"] = res.rows_written
-    lineage["per_bucket_rows"] = per_bucket
-    lineage["events_in"] = res.events_in
-    # persist the enriched lineage (metadata-only update of the same dict is
-    # not re-committed; lineage lives in the snapshot written above for the
-    # parts known pre-commit, and metrics.py records the full record)
-    return res
+    rows_written = sum(b["rows"] for b in per_bucket.values())
+    lineage: dict[str, Any] = {
+        "stream_id": stream_id, "epoch": epoch,
+        "buckets_touched": sorted(touched),
+        "events_in": events_in, "rows_written": rows_written,
+        "per_bucket": per_bucket,
+    }
+    remove = {f.path for f in snap.files
+              if f.bucket is not None and f.bucket in touched}
+    new_snap = table.commit(adds, remove, stream_id=stream_id, epoch=epoch,
+                            new_schema=new_schema, lineage=lineage,
+                            expected_version=snap.snapshot_id)
+    return ApplyResult(new_snap, events_in=events_in, winners=None,
+                       buckets_touched=sorted(touched), rows_written=rows_written)
 
 
 def read_state(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:

@@ -1,0 +1,76 @@
+"""Per-partition lineage + metrics, emitted each micro-batch.
+
+Succeeds the reference's per-process log lines
+(``/root/reference/scripts/collector.py:10-15,90,141``) with structured,
+queryable records: every applied batch appends one JSON record carrying
+the batch envelope (stream_id, epoch, snapshot id) and per-bucket
+(= per key-partition) row/file/LSN stats — the data a lineage system needs
+to answer "which partitions did epoch 17 touch and what did it write".
+
+Records are tiny (bounded by n_buckets) and written driver-side next to the
+table; ``read_metrics`` exposes them as a DataFrame for SQL. At cluster
+scale this would be an append to a metrics topic/table — the record shape
+is the contract, the transport is swappable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from rockefeller_spark.merge import ApplyResult
+
+
+class MetricsLog:
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+
+    def record(self, res: "ApplyResult", *, stream_id: str | None = None,
+               epoch: int | None = None) -> dict[str, Any] | None:
+        rec: dict[str, Any] = {
+            "ts_ms": int(time.time() * 1000),
+            "stream_id": stream_id,
+            "epoch": epoch,
+            "skipped": res.skipped,
+            "snapshot_id": None if res.snapshot is None else res.snapshot.snapshot_id,
+            "events_in": res.events_in,
+            "rows_written": res.rows_written,
+            "buckets_touched": res.buckets_touched,
+            "per_bucket": (res.snapshot.lineage.get("per_bucket", {})
+                           if res.snapshot is not None else {}),
+        }
+        tmp = os.path.join(self.path, f".{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.rename(tmp, os.path.join(
+            self.path, f"metrics-{epoch if epoch is not None else 'adhoc'}-{uuid.uuid4().hex}.json"))
+        return rec
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.json(os.path.join(self.path, "metrics-*.json"))
+
+
+def read_metrics(spark: SparkSession, path: str) -> DataFrame:
+    return MetricsLog(path).read(spark)
+
+
+def partition_profile(df: DataFrame) -> DataFrame:
+    """Runtime skew profile of any DataFrame: rows per physical Spark
+    partition. The observability hook for 'is this stage skewed?'."""
+    return (df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .orderBy(F.col("rows").desc()))
+
+
+def key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Top-N hottest keys — the report that justifies the salt factor."""
+    return (df.groupBy(key).agg(F.count(F.lit(1)).alias("rows"))
+            .orderBy(F.col("rows").desc()).limit(top_n))
