@@ -1,0 +1,119 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline workload: the engine's reason to exist — CDC apply throughput.
+A deterministic change-event log (Zipf-skewed, duplicate LSNs, tombstones,
+out-of-order) is pre-materialized to parquet (generation excluded from the
+timed window), then applied through the full MERGE path in micro-batches
+into a fresh icelake table. Reported as events/sec plus per-query seconds
+for the registry's headline queries at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir      (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores    (default 32)
+  BENCH_EVENTS         CDC event count   (default 2_000_000)
+  BENCH_BATCHES        micro-batches     (default 4)
+  BENCH_APPLY_ONLY     skip registry queries (for the scaling harness)
+
+The same job runs unchanged at any parallelism — the N-vs-4N scaling
+evidence in BENCH/BASELINE.md is produced by bench/scaling.py running this
+file at SPARK_GRAFT_CPUS=8 and =32.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from rockefeller_spark import gen, registry
+from rockefeller_spark.lake import LakeTable
+from rockefeller_spark.merge import apply_batch
+from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
+from rockefeller_spark.session import get_spark
+
+HEADLINE_QUERIES = [
+    "cdc_apply_full", "cdc_lww_latest", "cdc_high_water_marks",
+    "pricing_summary", "revenue_by_nation", "brand_revenue",
+    "topk_orders_per_priority", "sessionize", "hourly_rollup",
+    "doc_exact_dedup", "doc_minhash_pairs", "doc_tokens",
+    "emb_cosine_topk", "emb_centroid_assign",
+]
+
+
+def _force(df) -> None:
+    """Fully materialize a DataFrame without collecting it to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_cdc_apply(spark, n_events: int, n_batches: int,
+                    n_buckets: int = 64) -> dict:
+    work = tempfile.mkdtemp(prefix="rk-bench-")
+    events_path = os.path.join(work, "events")
+    # materialize the log OUTSIDE the timed window
+    ev = gen.gen_change_events(spark, n_events=n_events,
+                               n_convs=max(1000, n_events // 200),
+                               max_turns=50, seed=42)
+    ev.write.mode("overwrite").parquet(events_path)
+
+    table = LakeTable.create(spark, os.path.join(work, "table"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=n_buckets)
+    log = spark.read.parquet(events_path)
+    span = n_events // n_batches + 1
+
+    t0 = time.time()
+    for b in range(n_batches):
+        batch = log.filter((log.lsn >= b * span) & (log.lsn < (b + 1) * span))
+        apply_batch(table, batch, stream_id="bench", epoch=b,
+                    collect_metrics=False)
+    elapsed = time.time() - t0
+
+    stats = table.stats()
+    shutil.rmtree(work, ignore_errors=True)
+    return {"apply_sec": round(elapsed, 3),
+            "events_per_sec": round(n_events / elapsed, 1),
+            "n_events": n_events, "n_batches": n_batches,
+            "final_rows": stats["rows"], "snapshots": stats["snapshot_id"]}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
+    apply_only = os.environ.get("BENCH_APPLY_ONLY", "") == "1"
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark("rockefeller-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    total0 = time.time()
+    cdc = bench_cdc_apply(spark, n_events, n_batches)
+
+    queries: dict[str, float] = {"cdc_apply_stream": cdc["apply_sec"]}
+    if not apply_only:
+        for name in HEADLINE_QUERIES:
+            fn = registry.QUERIES[name]
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            queries[name] = round(time.time() - t0, 3)
+    total = round(time.time() - total0, 3)
+
+    out = {
+        "metric": "cdc_apply_events_per_sec_plus_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "cdc": cdc,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

