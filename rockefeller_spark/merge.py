@@ -6,8 +6,8 @@ gets maximal leverage — one shuffle, file-pruned reads, skew-immune:
 1. **Epoch gate** — a replayed micro-batch epoch is a no-op (exactly-once).
 2. **Additive schema evolution** — new payload columns in the batch extend
    the table schema in the same commit; no rewrite of old files.
-3. **Within-batch LWW dedup** — `cdc.dedupe_lww` (hash agg, map-side
-   combined).
+3. **Within-batch LWW dedup** — fused with step 5 (one hash aggregation
+   covers both; `cdc.dedupe_lww` is the standalone form of the same op).
 4. **Touched-file pruning** — winners' key buckets are collected (tiny:
    at most n_buckets ints) and only those buckets' files are read; all
    other files carry over into the new snapshot byte-identical. This is
@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rockefeller_spark import schema as S
-from rockefeller_spark.cdc import dedupe_lww, winners_to_stored
+from rockefeller_spark.cdc import winners_to_stored
 from rockefeller_spark.lake import LakeTable, Snapshot, bucket_expr
 from rockefeller_spark.normalize import normalize_columns
 
@@ -94,12 +94,9 @@ def apply_batch(table: LakeTable, events: DataFrame, *,
         events = events.observe(obs, F.count(F.lit(1)).alias("n"),
                                 F.max("lsn").alias("max_lsn"))
 
-    winners = dedupe_lww(events)
-    stored_src = winners_to_stored(winners)
-
     # Touched buckets are computable from the RAW events (bucket depends only
-    # on conv_id and winners' keys ⊆ events' keys), so this pass is a cheap
-    # map-side-combined distinct (≤ n_buckets rows/task), not a second dedup.
+    # on conv_id), so this pass is a cheap map-side-combined distinct
+    # (≤ n_buckets rows/task) — the pruning index for the target read.
     bexpr = bucket_expr(snap.bucket_col, snap.n_buckets)
     touched_rows = (events.select(bexpr.alias("b")).distinct().collect())
     touched = {r["b"] for r in touched_rows}
@@ -108,6 +105,13 @@ def apply_batch(table: LakeTable, events: DataFrame, *,
 
     target = table.read(buckets=touched)
 
+    # Within-batch LWW dedup and merge-vs-target are the SAME max-_lsn
+    # reduction, so they are fused into ONE hash aggregation: project every
+    # raw event to the stored-row shape (op='D' → tombstone) and union with
+    # the target's stored rows; max_by(_lsn) per key then resolves
+    # event-vs-event and event-vs-target in a single shuffle. (A separate
+    # dedupe_lww pass would shuffle the events twice for the same answer.)
+    stored_src = winners_to_stored(events)
     merged_in = target.unionByName(stored_src, allowMissingColumns=True)
     rest = [c for c in merged_in.columns if c not in S.KEY_COLS]
     w = F.struct(*[F.col(c) for c in rest])

@@ -1,0 +1,116 @@
+"""icelake table layer: commit atomicity, conflicts, evolution, time travel."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rockefeller_spark import gen
+from rockefeller_spark.lake import CommitConflictError, LakeTable
+from rockefeller_spark.merge import apply_batch, bootstrap, read_state
+from rockefeller_spark.schema import (CHANGE_EVENT_SCHEMA_V2,
+                                      STORED_TRANSCRIPT_SCHEMA, evolve_additive)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"),
+                            STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+
+
+def test_create_load_exists(spark, tmp_path, table):
+    assert LakeTable.exists(table.path)
+    assert not LakeTable.exists(str(tmp_path / "nope"))
+    t2 = LakeTable.load(spark, table.path)
+    assert t2.current_version() == 0
+    with pytest.raises(FileExistsError):
+        LakeTable.create(spark, table.path, STORED_TRANSCRIPT_SCHEMA)
+
+
+def test_commit_conflict_single_winner(spark, table):
+    base = gen.gen_transcripts(spark, n_convs=5, seed=1)
+    bootstrap(table, base)
+    snap = table.current()
+    # a second writer racing to the same version loses
+    with pytest.raises(CommitConflictError):
+        table.commit([], set(), expected_version=snap.snapshot_id - 1)
+    # and a stale expected_version is refused before any metadata write
+    from rockefeller_spark.lake import Snapshot
+    sn = Snapshot(snap.snapshot_id, snap.parent_id, snap.schema,
+                  snap.n_buckets, snap.bucket_col, [])
+    with pytest.raises(CommitConflictError):
+        table._write_snapshot(sn)  # same version already exists
+
+
+def test_orphan_metadata_invisible(spark, table):
+    """Crash between metadata write and hint swap: readers never see it."""
+    bootstrap(table, gen.gen_transcripts(spark, n_convs=5, seed=2))
+    v = table.current_version()
+    d = table.current().to_json()
+    d["snapshot_id"] = v + 1
+    with open(table._meta_path(v + 1), "w") as fh:
+        json.dump(d, fh)
+    assert LakeTable.load(spark, table.path).current_version() == v
+    os.remove(table._meta_path(v + 1))
+
+
+def test_history_and_time_travel(spark, table):
+    ev = gen.gen_change_events(spark, n_events=400, n_convs=10, seed=3)
+    pdf = ev.toPandas()
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn < 200], ev.schema))
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn >= 200], ev.schema))
+    hist = table.history()
+    assert [s.snapshot_id for s in hist] == [0, 1, 2]
+    v1 = read_state(table, snapshot_id=1).count()
+    v2 = read_state(table, snapshot_id=2).count()
+    assert 0 < v1 <= v2
+    # lineage recorded per commit
+    assert hist[1].lineage["rows_written"] > 0
+    assert hist[1].lineage["per_bucket"]
+
+
+def test_applied_lsns_view(spark, table):
+    ev = gen.gen_change_events(spark, n_events=300, n_convs=10, seed=4)
+    apply_batch(table, ev)
+    al = table.applied_lsns().toPandas()
+    assert (al.max_lsn <= 299).all()
+    assert al.max_lsn.max() >= 290  # high-water mark near the top lsn
+
+
+def test_schema_evolution_no_rewrite(spark, table):
+    ev1 = gen.gen_change_events(spark, n_events=300, n_convs=10, seed=5)
+    apply_batch(table, ev1)
+    files_before = {f.path for f in table.current().files}
+    table.evolve(CHANGE_EVENT_SCHEMA_V2)  # metadata-only
+    assert {f.path for f in table.current().files} == files_before
+    cols = [f.name for f in table.current().schema.fields]
+    assert "tool_call_id" in cols and "latency_ms" in cols
+    # old files read back null-filled through the evolved schema
+    st = read_state(table)
+    assert st.filter(F.col("latency_ms").isNotNull()).count() == 0
+
+
+def test_evolve_additive_rules():
+    import pyspark.sql.types as T
+    base = T.StructType([T.StructField("a", T.StringType(), False)])
+    inc = T.StructType([T.StructField("a", T.StringType(), False),
+                        T.StructField("b", T.IntegerType(), True)])
+    out = evolve_additive(base, inc)
+    assert [f.name for f in out.fields] == ["a", "b"]
+    bad = T.StructType([T.StructField("a", T.IntegerType(), True)])
+    with pytest.raises(ValueError):
+        evolve_additive(base, bad)
+
+
+def test_normalize_columns(spark):
+    from rockefeller_spark.normalize import normalize_columns, normalize_name
+    assert normalize_name("Stock Splits") == "stock_splits"
+    assert normalize_name("  Op. Margin (%) ") == "op_margin"
+    df = spark.range(1).select(F.lit(1).alias("A  B!"), F.lit(2).alias("c_d"))
+    assert normalize_columns(df).columns == ["a_b", "c_d"]
+    clash = spark.range(1).select(F.lit(1).alias("a b"), F.lit(2).alias("A_B"))
+    with pytest.raises(ValueError):
+        normalize_columns(clash)
