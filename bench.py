@@ -87,7 +87,9 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     spark = get_spark("rockefeller-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(cpus, 8),
+                      extra_confs={"spark.driver.memory":
+                                   os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")})
     spark.sparkContext.setLogLevel("ERROR")
 
     total0 = time.time()

@@ -1,0 +1,180 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schemas, partitioning,
+Arrow-batched `mapInPandas` pipelines with bounded batch sizes — while the
+actual codec work is stubbed: the container has no image/audio libraries,
+so `decode` uses a clearly-marked deterministic fake (and raises
+`NotImplementedError` when a real codec is demanded). Swapping in PIL/
+ffmpeg later changes ONE function body; every plan shape stays identical.
+
+Scale notes (the part that matters at 100 TB):
+- payloads never pass through Python row-at-a-time — Arrow moves them in
+  columnar batches; `spark.sql.execution.arrow.maxRecordsPerBatch` bounds
+  executor memory per batch;
+- metadata predicates (kind/width/duration) are plain columns → pushed to
+  the parquet scan, so a "videos longer than 60 s" filter never reads the
+  blob column at all (parquet column projection);
+- feature extraction emits fixed-width array<float> suitable for
+  simsearch.py's ANN operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image | audio | video
+    T.StructField("payload", T.BinaryType(), False),    # opaque encoded bytes
+    T.StructField("width", T.IntegerType(), True),      # image/video
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),  # audio
+    T.StructField("duration_ms", T.IntegerType(), True),  # audio/video
+    T.StructField("codec", T.StringType(), False),
+])
+
+FEATURE_DIM = 32
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("feature", T.ArrayType(T.FloatType()), False),
+])
+
+THUMB_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("thumb", T.BinaryType(), False),
+    T.StructField("thumb_w", T.IntegerType(), False),
+    T.StructField("thumb_h", T.IntegerType(), False),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), False),
+])
+
+
+def gen_media(spark: SparkSession, n: int = 1000, seed: int = 42,
+              num_partitions: int | None = None) -> DataFrame:
+    """Deterministic synthetic media table: payload bytes are a pure
+    function of (media_id, seed) — md5-keystream, so any scale regenerates
+    identically (mirrors gen.py's philosophy; no RNG state)."""
+    ids = spark.range(0, n, numPartitions=num_partitions)
+    kind = (F.when(F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) == 0, "image")
+            .when(F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) == 1, "audio")
+            .otherwise("video"))
+    # payload: repeat md5(id) to a deterministic pseudo-encoded blob
+    size_kb = (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(1)), F.lit(8)) + 1)
+    payload = F.to_binary(
+        F.substring(F.repeat(F.md5(F.col("id").cast("string")), 64 * 8),
+                    F.lit(1), (size_kb * 1024).cast("int")), F.lit("utf-8"))
+    is_visual = kind.isin("image", "video")
+    return ids.select(
+        F.col("id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.when(is_visual, (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(2)),
+                                  F.lit(8)) * 160 + 320).cast("int")).alias("width"),
+        F.when(is_visual, (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(3)),
+                                  F.lit(8)) * 90 + 240).cast("int")).alias("height"),
+        F.when(kind == "audio", F.lit(16000).cast("int")).alias("sample_rate"),
+        F.when(kind != "image", (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(4)),
+                                        F.lit(120_000)) + 500).cast("int")).alias("duration_ms"),
+        F.when(kind == "image", F.lit("png"))
+         .when(kind == "audio", F.lit("pcm16")).otherwise(F.lit("h264")).alias("codec"),
+    )
+
+
+# --------------------------------------------------------------- decode stub
+
+def _fake_decode(payload: bytes, real_codec: bool = False) -> np.ndarray:
+    """STUB: the sandbox has no PIL/ffmpeg. Deterministic fake 'decode':
+    a keyed digest stream standing in for pixel/sample data. Replace this
+    body with the real codec call when the library is available."""
+    if real_codec:
+        raise NotImplementedError(
+            "real image/audio decode requires PIL/ffmpeg — not in this "
+            "container; _fake_decode provides the deterministic stand-in")
+    d = hashlib.sha256(payload[:4096]).digest()
+    return np.frombuffer((d * ((FEATURE_DIM * 4) // len(d) + 1))[:FEATURE_DIM * 4],
+                         dtype=np.uint32).astype(np.float64)
+
+
+def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Binary → fixed-width float feature vector via Arrow-batched
+    mapInPandas. The iterator contract keeps peak memory at one batch of
+    payloads per task regardless of partition size."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                feats = [(_fake_decode(p) % 1000.0 / 1000.0).astype(np.float32)
+                         for p in chunk["payload"]]
+                yield pd.DataFrame({
+                    "media_id": chunk["media_id"].values,
+                    "kind": chunk["kind"].values,
+                    "n_bytes": chunk["payload"].map(len).astype("int32").values,
+                    "feature": [f.tolist() for f in feats],
+                })
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Thumbnail pipeline: filter is metadata-only (pushed to the scan;
+    the blob column is read only for surviving rows), then a batched stub
+    resize (truncate-the-stream stand-in for real resampling)."""
+    imgs = media.filter(F.col("kind") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            scale = np.minimum(1.0, max_side / np.maximum(
+                pdf["width"].values, pdf["height"].values))
+            tw = np.maximum(1, (pdf["width"].values * scale)).astype("int32")
+            th = np.maximum(1, (pdf["height"].values * scale)).astype("int32")
+            nbytes = (tw.astype("int64") * th).clip(1, 1 << 16)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "thumb": [bytes(p[:n]) for p, n in zip(pdf["payload"], nbytes)],
+                "thumb_w": tw, "thumb_h": th,
+            })
+    return imgs.mapInPandas(run, THUMB_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 10_000) -> DataFrame:
+    """Video frame sampling: duration metadata decides frame count
+    (JVM-side), the stub 'frame' is a deterministic slice per index."""
+    vids = media.filter(F.col("kind") == "video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["duration_ms"]):
+                n_frames = max(1, int(dur) // every_ms)
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(bytes(payload[i * step:i * step + 64]))
+            yield pd.DataFrame(rows)
+    return vids.mapInPandas(run, FRAME_SCHEMA)
+
+
+def media_summary(media: DataFrame) -> DataFrame:
+    """Metadata-only rollup — never touches the payload column (verify
+    with .explain: ReadSchema excludes `payload`)."""
+    return (media.groupBy("kind", "codec")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("duration_ms").alias("avg_duration_ms"),
+                 F.max("width").alias("max_width")))

@@ -540,6 +540,23 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Multimodal (deterministic generated media; decode is stubbed — see
+# rockefeller_spark/multimodal.py)
+# =========================================================================
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rockefeller_spark import multimodal as M
+    media = M.gen_media(spark, n=200, seed=7)
+    return (M.extract_features(media)
+            .select("media_id", "kind", "n_bytes"))
+
+
+def q_media_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rockefeller_spark import multimodal as M
+    return M.media_summary(M.gen_media(spark, n=500, seed=7))
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -573,6 +590,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_centroid_assign": q_emb_centroid_assign,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_lsh_topk": q_emb_lsh_topk,
+    # multimodal (stubbed decode; plumbing real)
+    "media_features": q_media_features,
+    "media_rollup": q_media_rollup,
 }
 
 ORACLES: dict[str, str] = {

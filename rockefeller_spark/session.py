@@ -24,6 +24,9 @@ ENGINE_CONFS: dict[str, str] = {
     # Timestamps written as INT64 micros so DuckDB/pandas read them exactly.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+    # local mode runs everything in the driver JVM; the 1g default heap is
+    # far too small for multi-million-row shuffles. Overridable via env.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
