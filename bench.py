@@ -89,7 +89,12 @@ def main() -> None:
     spark = get_spark("rockefeller-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8),
                       extra_confs={"spark.driver.memory":
-                                   os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")})
+                                   os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+                                   # finer splits: keep the map side of the
+                                   # merge at ≥cores tasks for bench-sized
+                                   # inputs (at petabyte scale the default
+                                   # 128m is already thousands of tasks)
+                                   "spark.sql.files.maxPartitionBytes": "64m"})
     spark.sparkContext.setLogLevel("ERROR")
 
     total0 = time.time()

@@ -195,23 +195,29 @@ class LakeTable:
 
     # ------------------------------------------------------------- data files
     def _stage_write(self, df: DataFrame, n_buckets: int, bucket_col: str,
-                     write_salt: int = 0) -> list[DataFile]:
+                     write_salt: int = 0, pre_bucketed: bool = False) -> list[DataFile]:
         """Write ``df`` as bucket-partitioned Parquet under data/ and return
         the new DataFile entries (stats from Parquet footers, as Iceberg
         collects them at commit).
 
-        ``write_salt`` > 0 additionally spreads each bucket over
+        ``pre_bucketed=True``: ``df`` already carries a ``_bucket`` column
+        and is already partitioned the way the writer wants (the fused
+        single-shuffle apply path) — no extra repartition happens here.
+        Otherwise ``write_salt`` > 0 spreads each bucket over
         ``write_salt`` write tasks — the salted repartitioning that defuses
         a hot conversation monopolizing one writer at 10^10 events.
         """
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
-        out = df.withColumn("_bucket", bucket_expr(bucket_col, n_buckets))
-        if write_salt > 1:
-            salt = F.pmod(F.xxhash64(F.col("turn_idx") if "turn_idx" in df.columns
-                                     else F.rand()), F.lit(write_salt))
-            out = out.repartition(F.col("_bucket"), salt)
+        if pre_bucketed:
+            out = df
         else:
-            out = out.repartition(F.col("_bucket"))
+            out = df.withColumn("_bucket", bucket_expr(bucket_col, n_buckets))
+            if write_salt > 1:
+                salt = F.pmod(F.xxhash64(F.col("turn_idx") if "turn_idx" in df.columns
+                                         else F.rand()), F.lit(write_salt))
+                out = out.repartition(F.col("_bucket"), salt)
+            else:
+                out = out.repartition(F.col("_bucket"))
         out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
         files: list[DataFile] = []
         for dirname in sorted(os.listdir(stage)):

@@ -109,20 +109,36 @@ def apply_batch(table: LakeTable, events: DataFrame, *,
     # reduction, so they are fused into ONE hash aggregation: project every
     # raw event to the stored-row shape (op='D' → tombstone) and union with
     # the target's stored rows; max_by(_lsn) per key then resolves
-    # event-vs-event and event-vs-target in a single shuffle. (A separate
-    # dedupe_lww pass would shuffle the events twice for the same answer.)
+    # event-vs-event and event-vs-target.
+    #
+    # The whole apply is ONE shuffle: `_bucket` and `_salt` are
+    # deterministic functions of the key, so repartitioning on
+    # (_bucket, _salt) and grouping by (_bucket, _salt, conv_id, turn_idx)
+    # already satisfies the aggregation's required clustering — Catalyst
+    # inserts no second exchange — AND the output is exactly the layout the
+    # bucketed write wants. The salt spreads a hot conversation's bucket
+    # over `write_salt` reducers/writers (the skew defense).
     stored_src = winners_to_stored(events)
     merged_in = target.unionByName(stored_src, allowMissingColumns=True)
-    rest = [c for c in merged_in.columns if c not in S.KEY_COLS]
+    rest = [c for c in merged_in.columns
+            if c not in S.KEY_COLS and c not in ("_bucket", "_salt")]
     w = F.struct(*[F.col(c) for c in rest])
-    merged = (merged_in.groupBy(*S.KEY_COLS)
+    salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(max(write_salt, 1)))
+    npart = int(table.spark.conf.get("spark.sql.shuffle.partitions"))
+    merged = (merged_in
+              .withColumn("_bucket", bucket_expr(snap.bucket_col, snap.n_buckets))
+              .withColumn("_salt", salt)
+              .repartition(npart, F.col("_bucket"), F.col("_salt"))
+              .groupBy("_bucket", "_salt", *S.KEY_COLS)
               .agg(F.max_by(w, F.col("_lsn")).alias("_w"))
-              .select(*S.KEY_COLS, *[F.col(f"_w.{c}").alias(c) for c in rest]))
+              .select("_bucket", *S.KEY_COLS,
+                      *[F.col(f"_w.{c}").alias(c) for c in rest]))
 
     # Stage the data files FIRST (expensive, crash-safe: uncommitted files
     # are ignorable orphans), derive per-bucket lineage from their footer
     # stats (no extra job), then commit everything in one atomic snapshot.
-    adds = table._stage_write(merged, snap.n_buckets, snap.bucket_col, write_salt)
+    adds = table._stage_write(merged, snap.n_buckets, snap.bucket_col,
+                              pre_bucketed=True)
     bad = {f.bucket for f in adds} - touched
     if bad:
         raise ValueError(f"merge produced rows in untouched buckets {sorted(bad)}")
