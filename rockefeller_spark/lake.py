@@ -330,6 +330,23 @@ class LakeTable:
         paths = [os.path.join(self.path, f.path) for f in files]
         return self.spark.read.schema(snap.schema).parquet(*paths)
 
+    def compact(self, *, drop_tombstones: bool = True,
+                write_salt: int = 0) -> Snapshot:
+        """Maintenance: rewrite every bucket's files into one compacted set,
+        optionally dropping tombstones (safe once no event older than the
+        table's high-water mark can still arrive — the operator's call).
+        At fleet scale this runs per-bucket incrementally; here it is a
+        whole-table pass. Time travel to pre-compaction snapshots still
+        works (old files are referenced by old metadata, never deleted)."""
+        snap = self.current()
+        df = self.read()
+        if drop_tombstones and "_deleted" in df.columns:
+            df = df.filter(~F.col("_deleted"))
+        adds = self._stage_write(df, snap.n_buckets, snap.bucket_col, write_salt)
+        remove = {f.path for f in snap.files}
+        return self.commit(adds, remove, lineage={"op": "compact"},
+                           expected_version=snap.snapshot_id)
+
     def stats(self) -> dict[str, Any]:
         snap = self.current()
         return {

@@ -1,0 +1,63 @@
+"""Dead-letter routing + liveness verification.
+
+Two control-plane operators re-expressed from the reference:
+
+- **validate_events / split_quarantine** — the error-classification router
+  (``/root/reference/scripts/collector.py:143-153``: parse the failure,
+  route to retry-1y / retry-5d / drop) becomes a declarative
+  ``F.when``-chain over the batch: every event is classified once, bad
+  rows split off to a quarantine table with a reason, good rows proceed to
+  apply. No exceptions in the data path — a malformed row can never abort
+  a batch (the reference rolled back per row,
+  ``/root/reference/scripts/collector.py:68``; our commits are
+  all-or-nothing so bad rows must be excluded *before* the write).
+
+- **verify_liveness** — the two-pass liveness upsert
+  (``/root/reference/scripts/verify.py:42-94``: probe each tracker, set
+  ``delisted`` true/false) becomes one anti-join-shaped aggregation: a key
+  is delisted iff it has no recent activity. MERGE-ready output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# classification reasons, in evaluation order
+REASONS = ["null_key", "bad_op", "missing_payload", "negative_lsn"]
+
+
+def classify(df: DataFrame) -> Column:
+    """One reason per row; null = valid. Mirrors the reference's
+    substring-match ladder, as a single vectorized expression."""
+    return (
+        F.when(F.col("conv_id").isNull() | F.col("turn_idx").isNull(),
+               F.lit("null_key"))
+        .when(~F.col("op").isin("I", "U", "D"), F.lit("bad_op"))
+        .when((F.col("op") != "D") & F.col("text").isNull(),
+              F.lit("missing_payload"))
+        .when(F.col("lsn") < 0, F.lit("negative_lsn"))
+        .otherwise(F.lit(None).cast("string")))
+
+
+def split_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantined). One classification expression, two filters —
+    Catalyst shares the scan; no data passes through Python."""
+    tagged = events.withColumn("_reason", classify(events))
+    valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+    bad = (tagged.filter(F.col("_reason").isNotNull())
+           .withColumn("quarantined_at", F.current_timestamp()))
+    return valid, bad
+
+
+def verify_liveness(events: DataFrame, key: str = "conv_id",
+                    ts_col: str = "event_ts",
+                    horizon: str = "2024-01-15 00:00:00") -> DataFrame:
+    """Liveness flags: a key is delisted iff it has no event at/after the
+    horizon. Output (key, delisted, last_seen) — the MERGE source for a
+    registry table, replacing the reference's per-key UPDATE loop
+    (``/root/reference/scripts/verify.py:60-87``) with one aggregation."""
+    h = F.lit(horizon).cast("timestamp")
+    return (events.groupBy(key)
+            .agg(F.max(ts_col).alias("last_seen"))
+            .withColumn("delisted", F.col("last_seen") < h))

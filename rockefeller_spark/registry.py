@@ -165,6 +165,58 @@ GROUP BY e.user_id
 """
 
 
+def q_cdc_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter router over the change-event mapping: counts per
+    classification reason ('valid' for clean rows)."""
+    from rockefeller_spark.quarantine import classify
+    ch = events_as_changes(_t(spark, sf_dir, "events"))
+    # introduce synthetic corruption deterministically so every branch fires
+    ch = ch.withColumn(
+        "op", F.when(F.pmod(F.col("lsn"), F.lit(97)) == 0, F.lit("X"))
+               .otherwise(F.col("op")))
+    ch = ch.withColumn(
+        "conv_id", F.when(F.pmod(F.col("lsn"), F.lit(101)) == 0,
+                          F.lit(None).cast("string")).otherwise(F.col("conv_id")))
+    reason = classify(ch)
+    return (ch.groupBy(F.coalesce(reason, F.lit("valid")).alias("reason"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+SQL_CDC_QUARANTINE = """
+WITH ch AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_id % 97 = 0 THEN 'X'
+              WHEN event_type = 'error' THEN 'D'
+              WHEN event_type = 'click' THEN 'I' ELSE 'U' END AS op,
+         CASE WHEN event_id % 101 = 0 THEN NULL
+              ELSE 'u' || CAST(user_id AS VARCHAR) END AS conv_id,
+         CAST(event_id % 20 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text
+  FROM events),
+cls AS (
+  SELECT CASE WHEN conv_id IS NULL OR turn_idx IS NULL THEN 'null_key'
+              WHEN op NOT IN ('I','U','D') THEN 'bad_op'
+              WHEN op <> 'D' AND text IS NULL THEN 'missing_payload'
+              WHEN lsn < 0 THEN 'negative_lsn'
+              ELSE 'valid' END AS reason
+  FROM ch)
+SELECT reason, COUNT(*) AS n FROM cls GROUP BY reason
+"""
+
+
+def q_cdc_verify_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rockefeller_spark.quarantine import verify_liveness
+    return verify_liveness(_t(spark, sf_dir, "events"), key="user_id",
+                           ts_col="ts", horizon="2024-01-15 00:00:00")
+
+
+SQL_CDC_LIVENESS = """
+SELECT user_id, MAX(ts) AS last_seen,
+       MAX(ts) < TIMESTAMP '2024-01-15 00:00:00' AS delisted
+FROM events GROUP BY user_id
+"""
+
+
 # =========================================================================
 # Relational operators (TPC-H-ish)
 # =========================================================================
@@ -567,6 +619,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_high_water_marks": q_cdc_high_water_marks,
     "cdc_unapplied_after_hwm": q_cdc_unapplied_after_hwm,
+    "cdc_quarantine_split": q_cdc_quarantine_split,
+    "cdc_verify_liveness": q_cdc_verify_liveness,
     # relational
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -601,6 +655,8 @@ ORACLES: dict[str, str] = {
     "cdc_lww_salted": SQL_CDC_LWW,
     "cdc_high_water_marks": SQL_CDC_HWM,
     "cdc_unapplied_after_hwm": SQL_CDC_UNAPPLIED,
+    "cdc_quarantine_split": SQL_CDC_QUARANTINE,
+    "cdc_verify_liveness": SQL_CDC_LIVENESS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "brand_revenue": SQL_BRAND_REVENUE,
