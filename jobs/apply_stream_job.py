@@ -1,0 +1,65 @@
+"""spark-submit entrypoint: the production shape of the engine.
+
+Ship the package and run the WAL tail on any cluster size — the SAME code
+the tests and bench run locally:
+
+    cd /root/repo && zip -r /tmp/rockefeller_spark.zip rockefeller_spark
+    spark-submit --py-files /tmp/rockefeller_spark.zip \\
+        --master <cluster> --num-executors <N> \\
+        jobs/apply_stream_job.py \\
+        --source /path/to/wal --table /path/to/lake \\
+        --checkpoint /path/to/ckpt [--continuous] [--n-buckets 4096]
+
+Batch catch-up by default (drain + exit, cron/Airflow-friendly — the
+reference's daily-DAG intent, /root/reference/airflow/dags/daily_dag.py);
+``--continuous`` keeps tailing with ``--max-files-per-trigger`` pacing.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from rockefeller_spark.lake import LakeTable
+from rockefeller_spark.metrics import MetricsLog
+from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
+from rockefeller_spark.session import get_spark
+from rockefeller_spark.stream import run_stream
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True, help="WAL directory (parquet)")
+    ap.add_argument("--table", required=True, help="icelake table path")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--metrics", default=None)
+    ap.add_argument("--n-buckets", type=int, default=256,
+                    help="key buckets for a NEW table (size to ~target "
+                         "parallelism; thousands at 10^10 rows)")
+    ap.add_argument("--write-salt", type=int, default=4)
+    ap.add_argument("--continuous", action="store_true")
+    ap.add_argument("--max-files-per-trigger", type=int, default=64)
+    ap.add_argument("--watermark", default="1 hour")
+    args = ap.parse_args()
+
+    # master/executors come from spark-submit; only engine confs set here
+    spark = get_spark("rockefeller-apply-stream", master=None)
+
+    if LakeTable.exists(args.table):
+        table = LakeTable.load(spark, args.table)
+    else:
+        table = LakeTable.create(spark, args.table, STORED_TRANSCRIPT_SCHEMA,
+                                 n_buckets=args.n_buckets)
+    metrics = MetricsLog(args.metrics) if args.metrics else None
+
+    q = run_stream(spark, args.source, table, args.checkpoint,
+                   available_now=not args.continuous,
+                   max_files_per_trigger=(args.max_files_per_trigger
+                                          if args.continuous else None),
+                   watermark=args.watermark,
+                   write_salt=args.write_salt,
+                   metrics=metrics)
+    q.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()

@@ -376,6 +376,140 @@ FROM events WHERE user_id < 10
 """
 
 
+def q_scd_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-attribute fan-out (the reference's per-row spread of
+    `ticker.info` onto every history row,
+    /root/reference/scripts/collector.py:99,116-132): carry the last seen
+    non-null 'purchase value' forward onto every later event of the user."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    attr = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select("user_id", "event_id",
+                     F.last(attr, ignorenulls=True).over(w)
+                     .alias("last_purchase_value"))
+
+
+SQL_SCD_FANOUT = """
+SELECT user_id, event_id,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM events WHERE user_id < 20
+"""
+
+
+def q_collect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG analog (/root/reference/scripts/collector.py:29): the
+    distinct event types per user as one sorted, joined string (portable
+    array representation across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+                 .alias("event_types")))
+
+
+SQL_COLLECT_TYPES = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types
+FROM events GROUP BY user_id
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("o_totalprice").alias("total"))
+            .select(F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    "n", "total"))
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable pivot via conditional aggregation (identical SQL shape)."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in ["click", "view", "purchase", "signup", "error"]]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+SQL_PIVOT_COUNTS = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function battery (the P2/P3 cast & null-safe layer of the
+    reference, /root/reference/scripts/collector.py:104-133): string, date,
+    math, conditional — one row per event, every expression mirrored in
+    the oracle."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("etype_upper"),
+        F.substring("props", 1, 5).alias("props_head"),
+        F.length("props").alias("props_len"),
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_masked"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("UNK"))
+         .alias("etype_or_unk"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour_str"),
+        F.dayofweek("ts").alias("dow"),
+        F.round(F.sqrt(F.col("value")), 6).alias("sqrt_value"),
+        F.abs(F.col("value") - 100).cast("double").alias("abs_centered"),
+        F.when(F.col("value") > 100, "high").otherwise("low").alias("band"),
+    )
+
+
+SQL_SCALAR_FUNCTIONS = """
+SELECT event_id,
+       upper(event_type) AS etype_upper,
+       substr(props, 1, 5) AS props_head,
+       CAST(len(props) AS INTEGER) AS props_len,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS props_masked,
+       COALESCE(NULLIF(event_type, 'error'), 'UNK') AS etype_or_unk,
+       strftime(ts, '%Y-%m-%d %H') AS hour_str,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       ROUND(sqrt(value), 6) AS sqrt_value,
+       abs(value - 100) AS abs_centered,
+       CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS band
+FROM events WHERE user_id < 5
+"""
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: two overlapping slices, unionByName + distinct (the
+    reference's retry-list extend, /root/reference/scripts/collector.py:199-201)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 400).select("event_id", "user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id")
+    return a.unionByName(b).distinct()
+
+
+SQL_UNION_DEDUP = """
+SELECT DISTINCT event_id, user_id FROM (
+  SELECT event_id, user_id FROM events WHERE value > 400
+  UNION ALL
+  SELECT event_id, user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
 def q_normalized_colnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 column normalization: ugly upstream names → snake_case, then a
     normal aggregate over the renamed frame."""
@@ -631,6 +765,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_rollup": q_hourly_rollup,
     "running_count": q_running_count,
     "normalized_colnames": q_normalized_colnames,
+    "scd_fanout": q_scd_fanout,
+    "collect_event_types": q_collect_event_types,
+    "rollup_orders": q_rollup_orders,
+    "pivot_event_counts": q_pivot_event_counts,
+    "scalar_functions": q_scalar_functions,
+    "union_dedup": q_union_dedup,
     # text pipeline
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_tokens": q_doc_tokens,
@@ -666,6 +806,12 @@ ORACLES: dict[str, str] = {
     "hourly_rollup": SQL_HOURLY_ROLLUP,
     "running_count": SQL_RUNNING_COUNT,
     "normalized_colnames": SQL_NORMALIZED,
+    "scd_fanout": SQL_SCD_FANOUT,
+    "collect_event_types": SQL_COLLECT_TYPES,
+    "rollup_orders": SQL_ROLLUP_ORDERS,
+    "pivot_event_counts": SQL_PIVOT_COUNTS,
+    "scalar_functions": SQL_SCALAR_FUNCTIONS,
+    "union_dedup": SQL_UNION_DEDUP,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_tokens": SQL_DOC_TOKENS,
     "doc_lang_id": SQL_DOC_LANG_ID,

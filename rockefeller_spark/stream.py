@@ -52,6 +52,7 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
                watermark: str = "1 hour",
                available_now: bool = False,
                write_salt: int = 4,
+               dedup_in_stream: bool = False,
                metrics: MetricsLog | None = None,
                options: dict[str, Any] | None = None) -> StreamingQuery:
     """Start the WAL tail. Returns the StreamingQuery; callers own its
@@ -68,6 +69,12 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     events = reader.load(source_dir).withWatermark("event_ts", watermark)
+    if dedup_in_stream:
+        # optional stateful pre-dedup: drops exact at-least-once replays
+        # before they reach the sink (state bounded by the watermark).
+        # Purely a bandwidth optimization — apply_batch is idempotent by
+        # LSN either way, which is what correctness rests on.
+        events = events.dropDuplicatesWithinWatermark(["lsn"])
 
     sid = stream_id_for(checkpoint_dir)
 
