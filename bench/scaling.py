@@ -62,6 +62,7 @@ def run_at(cpus: int, events: int, batches: int, repeats: int = 3) -> dict:
                    SPARK_GRAFT_CPUS=str(cpus),
                    BENCH_EVENTS=str(events),
                    BENCH_BATCHES=str(batches),
+                   BENCH_REPEATS="4",
                    BENCH_APPLY_ONLY="1",
                    PYTHONPATH=REPO)
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
@@ -79,8 +80,9 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=2)
     ap.add_argument("--pairs", type=str, default="2:8,8:32",
                     help="comma list of N:4N core pairs; first is primary")
-    ap.add_argument("--repeats", type=int, default=3,
-                    help="best-of-N per level (hypervisor noise rejection)")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="best-of-N processes per level (plus 4 in-process "
+                         "apply repeats each; hypervisor noise rejection)")
     args = ap.parse_args()
     pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
 
