@@ -62,7 +62,7 @@ def run_at(cpus: int, events: int, batches: int, repeats: int = 3) -> dict:
                    SPARK_GRAFT_CPUS=str(cpus),
                    BENCH_EVENTS=str(events),
                    BENCH_BATCHES=str(batches),
-                   BENCH_REPEATS="4",
+                   BENCH_REPEATS=os.environ.get("BENCH_REPEATS_INNER", "6"),
                    BENCH_APPLY_ONLY="1",
                    PYTHONPATH=REPO)
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],

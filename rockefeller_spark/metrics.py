@@ -62,6 +62,63 @@ def read_metrics(spark: SparkSession, path: str) -> DataFrame:
     return MetricsLog(path).read(spark)
 
 
+class ProgressRecorder:
+    """StreamingQueryListener adapter: persists each micro-batch's progress
+    JSON (source offsets, rows/sec, duration breakdown) next to the
+    metrics log — the stream-side half of the lineage story (the batch
+    side is MetricsLog.record). Attach/detach around a query:
+
+        rec = ProgressRecorder(spark, path); rec.attach()
+        ... run query ...
+        rec.detach()
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+        self._listener = None
+
+    def attach(self) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                rec = {"query_id": str(p.id), "batch_id": p.batchId,
+                       "timestamp": p.timestamp,
+                       "num_input_rows": p.numInputRows,
+                       "duration_ms": dict(p.durationMs or {}),
+                       "sources": [s.description for s in p.sources]}
+                tmp = os.path.join(outer.path, f".{uuid.uuid4().hex}.tmp")
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                os.rename(tmp, os.path.join(
+                    outer.path, f"progress-{p.batchId}-{uuid.uuid4().hex}.json"))
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        self._listener = _L()
+        self.spark.streams.addListener(self._listener)
+
+    def detach(self) -> None:
+        if self._listener is not None:
+            self.spark.streams.removeListener(self._listener)
+            self._listener = None
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.json(os.path.join(self.path, "progress-*.json"))
+
+
 def partition_profile(df: DataFrame) -> DataFrame:
     """Runtime skew profile of any DataFrame: rows per physical Spark
     partition. The observability hook for 'is this stage skewed?'."""
