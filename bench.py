@@ -92,7 +92,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     apply_only = os.environ.get("BENCH_APPLY_ONLY", "") == "1"
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
