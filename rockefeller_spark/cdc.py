@@ -84,10 +84,35 @@ def winners_to_stored(winners: DataFrame, key_cols: list[str] | None = None) -> 
 
 
 def filter_new_events(events: DataFrame, applied: DataFrame,
-                      bucket_col: Column, key: str = "part_key") -> DataFrame:
+                      bucket_col: Column, key: str = "part_key", *,
+                      assume_contiguous_lsn_prefix: bool = False) -> DataFrame:
     """Pre-filter events already covered by the per-bucket high-water mark
-    (``applied_lsns``): a broadcast left join + filter. Purely a fast-path —
-    correctness never depends on it because apply is idempotent by _lsn."""
+    (``applied_lsns``): a broadcast left join + filter.
+
+    PRECONDITION (caller must opt in): the batches already applied to the
+    table form an **LSN-contiguous prefix per bucket** — i.e. for every
+    bucket, every event with lsn ≤ that bucket's high-water mark has been
+    applied. That holds when batches are applied in LSN order (the
+    streaming path over an LSN-ordered WAL, and bench.py's lsn-range
+    batching), and it is what makes dropping ``lsn ≤ max_lsn`` safe: each
+    dropped event is guaranteed to already be reflected in stored state.
+
+    It does NOT hold for arbitrary out-of-order batch application (which
+    apply_batch itself supports): a never-applied low-LSN event for key K
+    would be silently dropped because a *different* key in K's bucket
+    pushed the bucket HWM past it. Because the precondition is a property
+    of the apply history — not checkable from the inputs — callers must
+    assert it explicitly via ``assume_contiguous_lsn_prefix=True``; without
+    it this function refuses to run rather than risk permanent data loss.
+    When in doubt, skip the prefilter: apply is idempotent by ``_lsn``, so
+    the prefilter is only ever a bandwidth optimization.
+    """
+    if not assume_contiguous_lsn_prefix:
+        raise ValueError(
+            "filter_new_events drops events at bucket granularity and is "
+            "only lossless when applied batches form an LSN-contiguous "
+            "prefix per bucket; pass assume_contiguous_lsn_prefix=True to "
+            "assert that, or skip the prefilter (apply is idempotent)")
     a = F.broadcast(applied.select(F.col(key), F.col("max_lsn")))
     return (events.withColumn(key, bucket_col.cast("string"))
             .join(a, key, "left")

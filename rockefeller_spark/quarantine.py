@@ -24,15 +24,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # classification reasons, in evaluation order
-REASONS = ["null_key", "bad_op", "missing_payload", "negative_lsn"]
+REASONS = ["null_lsn", "null_key", "bad_op", "missing_payload", "negative_lsn"]
 
 
 def classify(df: DataFrame) -> Column:
     """One reason per row; null = valid. Mirrors the reference's
-    substring-match ladder, as a single vectorized expression."""
+    substring-match ladder, as a single vectorized expression.
+
+    ``null_lsn`` is checked first: an event without an LSN cannot be
+    ordered at all (max_by over a null order key is undefined, and the
+    file-stat high-water marks would silently skip it), so it must never
+    reach apply. Note ``lsn < 0`` alone would NOT catch null — the
+    comparison evaluates to null and falls through to valid."""
     return (
-        F.when(F.col("conv_id").isNull() | F.col("turn_idx").isNull(),
-               F.lit("null_key"))
+        F.when(F.col("lsn").isNull(), F.lit("null_lsn"))
+        .when(F.col("conv_id").isNull() | F.col("turn_idx").isNull(),
+              F.lit("null_key"))
         .when(~F.col("op").isin("I", "U", "D"), F.lit("bad_op"))
         .when((F.col("op") != "D") & F.col("text").isNull(),
               F.lit("missing_payload"))

@@ -17,7 +17,9 @@ their correctness is covered by pytest properties instead (tests/).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -69,14 +71,22 @@ def events_as_changes(ev: DataFrame) -> DataFrame:
     )
 
 
+# One scratch table dir shared by every q_cdc_apply_full invocation: the
+# returned DataFrame reads the committed files lazily, so the dir must
+# outlive the call — but each new invocation (and interpreter exit) clears
+# the previous one, so at most ONE copy ever exists on disk.
+_APPLY_SCRATCH = os.path.join(tempfile.gettempdir(), "rk-apply-scratch")
+atexit.register(shutil.rmtree, _APPLY_SCRATCH, True)
+
+
 def q_cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: the ENTIRE engine path — change-event mapping, LWW
     dedup, MERGE into a fresh icelake table (atomic snapshot commits, file
     pruning, tombstones), final visible state. Oracle: the equivalent
     window-SQL over the raw events."""
     ev = events_as_changes(_t(spark, sf_dir, "events"))
-    tdir = tempfile.mkdtemp(prefix="rk-apply-")
-    table = LakeTable.create(spark, os.path.join(tdir, "t"),
+    shutil.rmtree(_APPLY_SCRATCH, ignore_errors=True)
+    table = LakeTable.create(spark, os.path.join(_APPLY_SCRATCH, "t"),
                              STORED_TRANSCRIPT_SCHEMA, n_buckets=16)
     apply_batch(table, ev, stream_id="registry", epoch=0)
     return read_state(table)
@@ -177,6 +187,10 @@ def q_cdc_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = ch.withColumn(
         "conv_id", F.when(F.pmod(F.col("lsn"), F.lit(101)) == 0,
                           F.lit(None).cast("string")).otherwise(F.col("conv_id")))
+    # null-lsn corruption last so op/conv_id corruption keys off the original
+    ch = ch.withColumn(
+        "lsn", F.when(F.pmod(F.col("lsn"), F.lit(103)) == 0,
+                      F.lit(None).cast("long")).otherwise(F.col("lsn")))
     reason = classify(ch)
     return (ch.groupBy(F.coalesce(reason, F.lit("valid")).alias("reason"))
             .agg(F.count(F.lit(1)).alias("n")))
@@ -184,7 +198,7 @@ def q_cdc_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CDC_QUARANTINE = """
 WITH ch AS (
-  SELECT event_id AS lsn,
+  SELECT CASE WHEN event_id % 103 = 0 THEN NULL ELSE event_id END AS lsn,
          CASE WHEN event_id % 97 = 0 THEN 'X'
               WHEN event_type = 'error' THEN 'D'
               WHEN event_type = 'click' THEN 'I' ELSE 'U' END AS op,
@@ -194,7 +208,8 @@ WITH ch AS (
          CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text
   FROM events),
 cls AS (
-  SELECT CASE WHEN conv_id IS NULL OR turn_idx IS NULL THEN 'null_key'
+  SELECT CASE WHEN lsn IS NULL THEN 'null_lsn'
+              WHEN conv_id IS NULL OR turn_idx IS NULL THEN 'null_key'
               WHEN op NOT IN ('I','U','D') THEN 'bad_op'
               WHEN op <> 'D' AND text IS NULL THEN 'missing_payload'
               WHEN lsn < 0 THEN 'negative_lsn'

@@ -76,9 +76,12 @@ def payload_cols(event_schema: T.StructType) -> list[str]:
 
 def evolve_additive(base: T.StructType, incoming: T.StructType) -> T.StructType:
     """Return ``base`` extended with any new nullable fields from
-    ``incoming``. Raises on type conflicts or attempts to drop columns —
-    evolution is additive only (the reference silently dropped unknown
-    fields, ``/root/reference/scripts/collector.py:55-59``; we refuse to).
+    ``incoming``. Raises on type conflicts — evolution is additive only.
+    A base column absent from ``incoming`` is retained unchanged (columns
+    can never be dropped or narrowed through this path; a batch simply not
+    carrying a column is normal and its stored values are untouched). The
+    reference silently dropped unknown incoming fields
+    (``/root/reference/scripts/collector.py:55-59``); we promote them.
     """
     by_name = {f.name: f for f in base.fields}
     out = list(base.fields)

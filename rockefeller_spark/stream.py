@@ -27,15 +27,18 @@ continuous, idempotent version.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Any
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from rockefeller_spark import schema as S
 from rockefeller_spark.lake import LakeTable
 from rockefeller_spark.merge import apply_batch
 from rockefeller_spark.metrics import MetricsLog
+from rockefeller_spark.quarantine import split_quarantine
 
 
 def stream_id_for(checkpoint_dir: str) -> str:
@@ -54,6 +57,7 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
                write_salt: int = 4,
                dedup_in_stream: bool = False,
                metrics: MetricsLog | None = None,
+               quarantine_dir: str | None = None,
                options: dict[str, Any] | None = None) -> StreamingQuery:
     """Start the WAL tail. Returns the StreamingQuery; callers own its
     lifecycle (``processAllAvailable``/``awaitTermination``/``stop``).
@@ -61,6 +65,14 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
     ``available_now=True`` drains everything currently in the source and
     stops — the batch-catchup mode (and what the tests use).
     ``max_files_per_trigger`` paces a continuous tail.
+
+    Every micro-batch is routed through the dead-letter splitter first:
+    lake commits are all-or-nothing and can never be rolled back, so a
+    malformed row (null key/LSN, unknown op) must be excluded *before* the
+    write — it lands in the quarantine table at ``quarantine_dir``
+    (default ``<table>/quarantine``) instead of the lake. Quarantine
+    writes are per-epoch overwrites, so a replayed micro-batch is
+    idempotent there too.
     """
     schema = event_schema or S.CHANGE_EVENT_SCHEMA
     reader = (spark.readStream.format(source_format).schema(schema))
@@ -77,9 +89,17 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
         events = events.dropDuplicatesWithinWatermark(["lsn"])
 
     sid = stream_id_for(checkpoint_dir)
+    qdir = quarantine_dir or os.path.join(table.path, "quarantine")
 
     def _apply(batch_df, batch_id: int) -> None:
-        res = apply_batch(table, batch_df, stream_id=sid, epoch=batch_id,
+        good, bad = split_quarantine(batch_df)
+        # epoch-keyed overwrite: replaying this batch rewrites the same
+        # subdir rather than appending duplicates
+        (bad.withColumn("_stream_id", F.lit(sid))
+            .withColumn("_epoch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(qdir, f"{sid}-{batch_id:08d}")))
+        res = apply_batch(table, good, stream_id=sid, epoch=batch_id,
                           write_salt=write_salt)
         if metrics is not None:
             metrics.record(res, stream_id=sid, epoch=batch_id)

@@ -30,11 +30,13 @@ def test_split_quarantine_all_branches(spark):
         (4, "U", "c1", 2, "user", None, None, None, ET),          # missing_payload
         (-5, "I", "c1", 3, "user", "ok", None, None, ET),         # negative_lsn
         (6, "D", "c1", 4, None, None, None, None, ET),            # delete: valid
+        (None, "I", "c1", 5, "user", "ok", None, None, ET),       # null_lsn
     ]
     valid, bad = split_quarantine(_ev(spark, rows))
     assert sorted(r.lsn for r in valid.collect()) == [1, 6]
     got = {r._reason for r in bad.collect()}
-    assert got == {"bad_op", "null_key", "missing_payload", "negative_lsn"}
+    assert got == {"bad_op", "null_key", "missing_payload", "negative_lsn",
+                   "null_lsn"}
     assert bad.filter(F.col("quarantined_at").isNull()).count() == 0
 
 

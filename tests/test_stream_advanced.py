@@ -105,12 +105,55 @@ def test_filter_new_events_prefilter(spark, tmp_path):
     applied = table.applied_lsns()
     snap = table.current()
     mixed = spark.createDataFrame(pdf, ev.schema)  # replay ALL (half stale)
+    # lsn<500 was applied in full → the applied history IS an LSN-contiguous
+    # prefix per bucket, so the bucket-HWM prefilter is lossless here.
     fresh = filter_new_events(mixed, applied,
-                              bucket_expr(snap.bucket_col, snap.n_buckets))
+                              bucket_expr(snap.bucket_col, snap.n_buckets),
+                              assume_contiguous_lsn_prefix=True)
     n_fresh = fresh.count()
     assert n_fresh < len(pdf)                       # stale events dropped
     apply_batch(table, fresh)
     got = _canon(read_state(table).toPandas())
     want = _canon(replay(pdf))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+
+def test_filter_new_events_requires_contiguous_prefix_optin(spark, tmp_path):
+    """Without the explicit precondition assertion the bucket-HWM prefilter
+    refuses to run (it would lose data under out-of-order batch apply)."""
+    import pytest
+    table = LakeTable.create(spark, str(tmp_path / "t"), STORED_TRANSCRIPT_SCHEMA,
+                             n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=100, n_convs=5, seed=53)
+    snap = table.current()
+    with pytest.raises(ValueError, match="contiguous"):
+        filter_new_events(ev, table.applied_lsns(),
+                          bucket_expr(snap.bucket_col, snap.n_buckets))
+
+
+def test_stream_routes_bad_rows_to_quarantine(spark, tmp_path):
+    """Malformed rows in the WAL land in the dead-letter table, never the
+    lake; the lake state equals the oracle over only the valid rows."""
+    src = str(tmp_path / "wal")
+    qdir = str(tmp_path / "q")
+    table = LakeTable.create(spark, str(tmp_path / "t"), STORED_TRANSCRIPT_SCHEMA,
+                             n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=1000, n_convs=10, seed=59)
+    # corrupt a deterministic slice: unknown op for lsn%17==0
+    corrupted = ev.withColumn(
+        "op", F.when(F.col("lsn") % 17 == 0, F.lit("Z")).otherwise(F.col("op")))
+    corrupted.write.mode("overwrite").parquet(src)
+
+    drain(spark, src, table, str(tmp_path / "ck"), quarantine_dir=qdir)
+
+    bad = spark.read.parquet(qdir + "/*")
+    n_bad = bad.count()
+    assert n_bad == corrupted.filter(F.col("lsn") % 17 == 0).count() > 0
+    assert set(r._reason for r in bad.select("_reason").distinct().collect()) \
+        == {"bad_op"}
+    got = _canon(read_state(table).toPandas())
+    want = _canon(replay(
+        corrupted.filter(F.col("lsn") % 17 != 0).toPandas()))
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
