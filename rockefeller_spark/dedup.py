@@ -10,11 +10,12 @@ Four tiers, cheapest first, all shuffle-frugal and scale-designed:
   similarity, quadratic only within shingle-sharing groups.
 - **MinHash + LSH** (`minhash_signatures` / `lsh_candidate_pairs` /
   `minhash_dedup_pairs`): linear-time near-dup at corpus scale — shingle →
-  n-minhash signature → band buckets → join only within buckets. Hashes
-  are md5-derived so signatures are engine-portable (same values in any
-  runtime, unlike xxhash64 which is Spark-private).
-- **SimHash** (`simhash64`): 64-bit sign-sum sketch; Hamming-close pairs
-  via band join on 4×16-bit chunks.
+  n-minhash signature → band buckets → join only within buckets. Each
+  sketch has a `portable=True` mode that swaps the JVM-native xxhash64 for
+  md5-derived hashes reproducible in any engine (the DuckDB oracle runs
+  the identical sketch); the default stays on xxhash64 for speed.
+- **SimHash** (`simhash60`): 60-bit sign-sum sketch; Hamming-close pairs
+  via band join on 4×15-bit chunks.
 
 All pure `pyspark.sql.functions` higher-order expressions — zero UDFs.
 """
@@ -58,6 +59,27 @@ def _md5_long(c: Column, salt: int) -> Column:
                   16, 10).cast("long")
 
 
+MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_perm_constants(n_hashes: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal-hash permutation
+    family h_i(x) = (a_i·x + b_i) mod (2³¹−1). Derived from md5 driver-side
+    and baked as literals into both the Spark plan and the SQL oracle, so
+    portable MinHash costs ONE md5 per shingle (the base hash) plus cheap
+    integer arithmetic — not one md5 per (shingle, permutation), which
+    measured ~25× slower at sf0.1. Products stay < 2⁶² (a, x < 2³¹), so
+    int64 arithmetic is exact in every engine."""
+    import hashlib
+    out = []
+    for i in range(n_hashes):
+        d = hashlib.md5(f"perm:{seed}:{i}".encode()).digest()
+        a = int.from_bytes(d[:8], "big") % (MERSENNE31 - 1) + 1
+        b = int.from_bytes(d[8:], "big") % MERSENNE31
+        out.append((a, b))
+    return out
+
+
 # --------------------------------------------------------------- jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -71,9 +93,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Jaccard = common / (|A| + |B| - common). Only id pairs and counts ever
     shuffle. Output: (id_a, id_b, jaccard) with id_a < id_b, ≥ threshold.
     """
+    # sh feeds three subtrees (sizes + both join sides) → persist so the
+    # shingling runs once, not 3× (ids+hashes only; tiny vs the text)
     sh = (df.select(F.col(id_col).alias("id"),
                     F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"))
-          .select("id", F.md5(F.col("s")).alias("h")))
+          .select("id", F.md5(F.col("s")).alias("h"))
+          .persist())
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -93,7 +118,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
-                       n_hashes: int = 32) -> DataFrame:
+                       n_hashes: int = 32, portable: bool = False) -> DataFrame:
     """n-permutation MinHash signature per doc as array<long>.
 
     Shape: explode distinct shingles once, hash each shingle once
@@ -102,33 +127,50 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     map-side partial combine, so each task emits ≤1 row per doc per
     aggregate regardless of document size. (A pure higher-order-function
     formulation re-evaluates the shingling per hash — ~30× slower.)
+
+    ``portable=True`` swaps xxhash64 for one md5 base hash per shingle
+    plus literal universal-hash permutations (`minhash_perm_constants`),
+    so ANY engine (DuckDB oracle included) reproduces the exact signature
+    values at near-xxhash64 cost.
     """
     sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"))
-          .select("id", F.xxhash64("s").alias("h")))
-    aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_m{i}")
-            for i in range(n_hashes)]
+                    F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s")))
+    if portable:
+        sh = sh.select("id", (_md5_long(F.col("s"), 0)
+                              % F.lit(MERSENNE31)).alias("h"))
+        aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31))
+                .alias(f"_m{i}")
+                for i, (a, b) in enumerate(minhash_perm_constants(n_hashes))]
+    else:
+        sh = sh.select("id", F.xxhash64("s").alias("h"))
+        aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_m{i}")
+                for i in range(n_hashes)]
     return (sh.groupBy("id").agg(*aggs)
             .select("id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])
                     .alias("sig")))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = 8) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = 8,
+                        portable: bool = False) -> DataFrame:
     """Band the signature and emit candidate pairs that collide in ≥1 band.
 
     Standard LSH: rows_per_band = n_hashes / n_bands; docs equal on a whole
     band land in one bucket; a self-join per bucket yields candidates.
     Scale: the shuffle key is (band, hash(band slice)) — uniformly
     distributed; each bucket is tiny unless docs truly collide.
+    ``portable=True`` uses md5-hex bucket ids (oracle-reproducible) instead
+    of xxhash64.
     """
+    def bucket(b):
+        joined = F.concat_ws(
+            ",", F.slice(F.col("sig"),
+                         b * (F.size(F.col("sig")) / n_bands).cast("int") + 1,
+                         (F.size(F.col("sig")) / n_bands).cast("int")))
+        return F.md5(joined) if portable else F.xxhash64(joined).cast("string")
     bands = (sigs.select(
         "id",
         F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda b: F.xxhash64(F.concat_ws(
-                ",", F.slice(F.col("sig"),
-                             b * (F.size(F.col("sig")) / n_bands).cast("int") + 1,
-                             (F.size(F.col("sig")) / n_bands).cast("int"))))))
+            F.sequence(F.lit(0), F.lit(n_bands - 1)), bucket))
         .alias("band", "bucket")))
     a = bands.alias("a")
     b = bands.alias("b")
@@ -142,12 +184,21 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = 8) -> DataFrame:
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         n_hashes: int = 32, n_bands: int = 8,
-                        threshold: float = 0.7) -> DataFrame:
+                        threshold: float = 0.7,
+                        portable: bool = False) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified: LSH candidates are re-scored
     by estimated Jaccard (matching signature fraction) and thresholded.
-    Output (id_a, id_b, est_jaccard)."""
-    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
-    cands = lsh_candidate_pairs(sigs, n_bands)
+    Output (id_a, id_b, est_jaccard).
+
+    The signature table is consumed by three downstream subtrees (banding
+    plus both sides of the verify join), so it is persisted — without that,
+    Spark re-runs the shingle+hash aggregation of the whole corpus once per
+    consumer (4 scans; measured 3.5× the wall of this query at sf0.1). At
+    fleet scale the same move is writing the signatures to a table once and
+    reusing them across dedup runs."""
+    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes,
+                              portable=portable).persist()
+    cands = lsh_candidate_pairs(sigs, n_bands, portable=portable)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
@@ -161,20 +212,23 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 
 # ---------------------------------------------------------------- simhash
 
-def simhash64(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """60-bit SimHash over word tokens: bit b of the sketch is the sign of
-    Σ_tokens (±1 depending on bit b of xxhash64(token)). Near-dups have
-    small Hamming distance.
+def simhash60(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", portable: bool = False) -> DataFrame:
+    """**60-bit** SimHash over word tokens (60, not 64: the portable md5
+    hash yields 60 clean bits, and 60 splits evenly into 4 pigeonhole
+    bands): bit b of the sketch is the sign of Σ_tokens (±1 depending on
+    bit b of hash(token)). Near-dups have small Hamming distance.
 
-    Shape: explode tokens (keeping multiplicity), one xxhash per token,
+    Shape: explode tokens (keeping multiplicity), one hash per token,
     then 60 SUM aggregates — a single map-side-combined hash aggregation,
-    like minhash_signatures."""
+    like minhash_signatures. ``portable=True`` uses the md5-derived token
+    hash (oracle-reproducible) instead of xxhash64."""
     n_bits = 60
-    toks = (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.split(F.trim(F.lower(F.col(text_col))),
-                                        r"\s+")).alias("t"))
-            .select("id", F.xxhash64("t").alias("h")))
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                       r"\s+")).alias("t"))
+    h = _md5_long(F.col("t"), 0) if portable else F.xxhash64("t")
+    toks = toks.select("id", h.alias("h"))
     aggs = [F.sum(F.when(F.shiftrightunsigned(F.col("h"), b)
                          .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{b}")
             for b in range(n_bits)]
@@ -187,11 +241,14 @@ def simhash64(df: DataFrame, text_col: str = "text",
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       portable: bool = False) -> DataFrame:
     """Hamming-≤k pairs via banding: split the 60-bit sketch into 4 15-bit
     chunks; any pair within Hamming 3 agrees exactly on ≥1 chunk
-    (pigeonhole), so join on chunks then verify with bit_count."""
-    sh = simhash64(df, text_col, id_col)
+    (pigeonhole), so join on chunks then verify with bit_count. The sketch
+    table feeds both sides of the self-join → persisted (one id+long row
+    per doc), so tokenization runs once."""
+    sh = simhash60(df, text_col, id_col, portable=portable).persist()
     chunks = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1))
         for i in range(4)])

@@ -65,15 +65,26 @@ FRAME_SCHEMA = T.StructType([
 
 def gen_media(spark: SparkSession, n: int = 1000, seed: int = 42,
               num_partitions: int | None = None) -> DataFrame:
-    """Deterministic synthetic media table: payload bytes are a pure
-    function of (media_id, seed) — md5-keystream, so any scale regenerates
-    identically (mirrors gen.py's philosophy; no RNG state)."""
+    """Deterministic synthetic media table: every field is a pure function
+    of (media_id, seed) via md5-derived hashes — portable, so the SQL
+    oracle regenerates the identical table from ``range(n)`` (no parquet
+    fixture needed) and any scale regenerates identically (mirrors
+    gen.py's philosophy; no RNG state)."""
     ids = spark.range(0, n, numPartitions=num_partitions)
-    kind = (F.when(F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) == 0, "image")
-            .when(F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) == 1, "audio")
+
+    def h(k: int):
+        # 60-bit positive hash of "id:seed:k" — same formula the DuckDB
+        # oracle uses ( ('0x'||substr(md5(...),1,15))::BIGINT )
+        return F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col("id").cast("string"), F.lit(str(seed)), F.lit(str(k)))),
+            1, 15), 16, 10).cast("long")
+
+    kind = (F.when(h(0) % 3 == 0, "image")
+            .when(h(0) % 3 == 1, "audio")
             .otherwise("video"))
-    # payload: repeat md5(id) to a deterministic pseudo-encoded blob
-    size_kb = (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(1)), F.lit(8)) + 1)
+    # payload: repeat md5(id) to a deterministic pseudo-encoded blob of
+    # exactly size_kb*1024 bytes (hex chars are 1 byte each in utf-8)
+    size_kb = h(1) % 8 + 1
     payload = F.to_binary(
         F.substring(F.repeat(F.md5(F.col("id").cast("string")), 64 * 8),
                     F.lit(1), (size_kb * 1024).cast("int")), F.lit("utf-8"))
@@ -82,13 +93,10 @@ def gen_media(spark: SparkSession, n: int = 1000, seed: int = 42,
         F.col("id").alias("media_id"),
         kind.alias("kind"),
         payload.alias("payload"),
-        F.when(is_visual, (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(2)),
-                                  F.lit(8)) * 160 + 320).cast("int")).alias("width"),
-        F.when(is_visual, (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(3)),
-                                  F.lit(8)) * 90 + 240).cast("int")).alias("height"),
+        F.when(is_visual, (h(2) % 8 * 160 + 320).cast("int")).alias("width"),
+        F.when(is_visual, (h(3) % 8 * 90 + 240).cast("int")).alias("height"),
         F.when(kind == "audio", F.lit(16000).cast("int")).alias("sample_rate"),
-        F.when(kind != "image", (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(4)),
-                                        F.lit(120_000)) + 500).cast("int")).alias("duration_ms"),
+        F.when(kind != "image", (h(4) % 120_000 + 500).cast("int")).alias("duration_ms"),
         F.when(kind == "image", F.lit("png"))
          .when(kind == "audio", F.lit("pcm16")).otherwise(F.lit("h264")).alias("codec"),
     )
@@ -176,5 +184,5 @@ def media_summary(media: DataFrame) -> DataFrame:
     with .explain: ReadSchema excludes `payload`)."""
     return (media.groupBy("kind", "codec")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.avg("duration_ms").alias("avg_duration_ms"),
+                 F.round(F.avg("duration_ms"), 6).alias("avg_duration_ms"),
                  F.max("width").alias("max_width")))

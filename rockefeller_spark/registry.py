@@ -10,9 +10,11 @@ summed as exact decimals and cast to double, similarity scores are computed
 in sequential double precision and rounded — so the driver's
 order-insensitive value hash matches bit-for-bit.
 
-Entries whose semantics are not SQL-expressible (MinHash-LSH banding,
-SimHash, IVF probing, the streaming path) are registered without an oracle;
-their correctness is covered by pytest properties instead (tests/).
+Every entry carries an oracle. The sketch families (MinHash-LSH, SimHash,
+sign-LSH) run in portable-hash mode here — md5-derived hashes both engines
+compute identically — so even the approximate operators are value-checked
+end-to-end; the xxhash64 fast path of the same operators is covered by
+pytest properties (tests/test_textops.py).
 """
 
 from __future__ import annotations
@@ -38,6 +40,24 @@ from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster when the source can't.
+
+    The driver's testdata files are single-row-group parquet, so Spark's
+    scan yields ONE partition and every downstream narrow op (regex
+    shingling, 64-dim vector folds) runs on one core. At fleet scale the
+    scan has thousands of row groups and this is a no-op (partitions ≥
+    parallelism → returned unchanged); locally it restores the parallelism
+    the scan would naturally have. Used only by the compute-heavy text /
+    embedding queries — for cheap-per-row relational scans the shuffle
+    wouldn't pay for itself."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
 
 
 def _dec_sum(col, scale: str = "decimal(18,2)"):
@@ -552,7 +572,7 @@ _CANON_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+    return D.exact_dedup_groups(_spread(_t(spark, sf_dir, "documents")))
 
 
 SQL_DOC_EXACT_DEDUP = f"""
@@ -562,7 +582,7 @@ FROM documents GROUP BY 1
 
 
 def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id",
                     X.token_count("text").alias("n_tokens"),
                     F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
@@ -594,7 +614,7 @@ def _sw_hits_sql(lang: str) -> str:
 
 
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang",
                     X.lang_id("text").alias("lang_pred"))
 
@@ -615,7 +635,7 @@ FROM documents
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id",
                     F.round(X.stopword_ratio("text"), 6).alias("stopword_ratio"),
                     X.quality_score("text").alias("quality"))
@@ -638,7 +658,7 @@ FROM s
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+    return D.ngram_jaccard_pairs(_spread(_t(spark, sf_dir, "documents")),
                                  k=3, threshold=0.2)
 
 
@@ -666,14 +686,110 @@ WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
 
 
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # not SQL-expressible compactly → rows-only check; property-tested in
-    # tests/test_textops.py against exact Jaccard.
-    return D.minhash_dedup_pairs(_t(spark, sf_dir, "documents"),
-                                 n_hashes=32, n_bands=8, threshold=0.5)
+    """MinHash-LSH in portable-hash mode: the DuckDB oracle reproduces the
+    EXACT sketch (same md5-derived permutations, same band buckets), so
+    the full pipeline — signatures → banding → candidate join → estimated
+    Jaccard — is value-checked end-to-end, not just row-counted."""
+    return D.minhash_dedup_pairs(_spread(_t(spark, sf_dir, "documents")),
+                                 n_hashes=32, n_bands=8, threshold=0.5,
+                                 portable=True)
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-pairs in portable-hash mode (oracle-reproducible)."""
+    return D.simhash_near_pairs(_spread(_t(spark, sf_dir, "documents")), max_hamming=3,
+                                portable=True)
+
+
+def _md5long_sql(expr: str, salt) -> str:
+    """DuckDB twin of dedup._md5_long: 60-bit positive int from md5."""
+    return f"(('0x' || substr(md5({expr} || '#{salt}'), 1, 15))::BIGINT)"
+
+
+# Raw distinct k=3 word shingles — same construction the (value-verified)
+# jaccard oracle uses, keeping the shingle string instead of hashing it.
+_SHINGLES_SQL = f"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array({_CANON_SQL}, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN array_to_string(t[i:i+2], ' ')
+              ELSE array_to_string(t, ' ') END AS s
+  FROM toks,
+       UNNEST(range(1, CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 2 END)) AS u(i))
+"""
+
+# The exact portable MinHash pipeline: md5 base hash per shingle → 32
+# universal-hash permutation minima (same literal (a,b) constants the
+# Spark plan bakes) → 8 bands of 4 → md5 band buckets → candidate pairs →
+# estimated Jaccard ≥ 0.5.
+_MINHASH_MINS = ",\n".join(
+    f"    MIN(({a} * h + {b}) % {D.MERSENNE31}) AS m{i}"
+    for i, (a, b) in enumerate(D.minhash_perm_constants(32)))
+_MINHASH_SIG = "[" + ", ".join(f"m{i}" for i in range(32)) + "]"
+
+SQL_DOC_MINHASH_PAIRS = f"""
+WITH {_SHINGLES_SQL},
+hh AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(s || '#0'), 1, 15))::BIGINT) % {D.MERSENNE31} AS h
+  FROM sh),
+mins AS (
+  SELECT doc_id,
+{_MINHASH_MINS}
+  FROM hh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM mins),
+mh AS (SELECT doc_id, i, sig[CAST(i AS INTEGER)] AS m
+       FROM sig, UNNEST(range(1, 33)) AS u2(i)),
+bands AS (
+  SELECT doc_id, bi,
+         md5(array_to_string(sig[bi*4+1 : bi*4+4], ',')) AS bucket
+  FROM sig, UNNEST(range(0, 8)) AS u3(bi)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 32.0, 6)
+           AS est_jaccard
+  FROM cands c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.i = ma.i
+  GROUP BY 1, 2)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+_SIMHASH_BIT_SUMS = ",\n".join(
+    f"    SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(60))
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END"
+    for b in range(60))
+
+# The exact portable SimHash pipeline: md5 token hash → 60 sign-sums →
+# 4×15-bit pigeonhole bands → Hamming ≤ 3 pairs.
+SQL_DOC_SIMHASH_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, {_md5long_sql('t', 0)} AS h
+  FROM (SELECT doc_id,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+        FROM documents)),
+bits AS (
+  SELECT doc_id,
+{_SIMHASH_BIT_SUMS}
+  FROM tok GROUP BY doc_id),
+sim AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM bits),
+banded AS (
+  SELECT doc_id, simhash, i AS band, (simhash >> (15 * i)) & 32767 AS chunk
+  FROM sim, UNNEST(range(0, 4)) AS u(i))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 # =========================================================================
@@ -681,7 +797,7 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return V.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+    return V.cosine_topk(_spread(_t(spark, sf_dir, "embeddings")), query_id=0, k=10)
 
 
 SQL_EMB_COSINE_TOPK = """
@@ -702,7 +818,7 @@ FROM dots ORDER BY cosine_sim DESC, neighbor_id LIMIT 10
 
 
 def q_emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     cents = (e.filter(F.col("vec_id") < 8)
              .select(F.col("vec_id").alias("centroid_id"), "embedding"))
     out = V.assign_centroids(e, cents)
@@ -729,15 +845,94 @@ SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    """IVF in its real usage shape: the cell assignment is BUILT ONCE
+    (persisted — the single-session stand-in for a stored index table
+    partitioned by centroid_id) and searched; query cost is one broadcast
+    probe-list semi-join + a pruned top-k."""
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     cents = (e.filter(F.col("vec_id") < 8)
              .select(F.col("vec_id").alias("centroid_id"), "embedding"))
-    return V.ivf_topk(e, cents, query_id=0, k=10, n_probe=3)
+    index = V.ivf_build(e, cents).persist()
+    return V.ivf_topk(index, cents, query_id=0, k=10, n_probe=3)
 
+
+SQL_EMB_IVF_TOPK = """
+WITH c AS (SELECT vec_id AS centroid_id, unnest(embedding) AS y,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+sims AS (
+  SELECT v.vec_id, c.centroid_id,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+           / (sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+              * sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS sim
+  FROM v JOIN c USING (i) GROUP BY 1, 2),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, centroid_id) AS rn
+           FROM sims),
+assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+qprobe AS (SELECT centroid_id FROM ranked WHERE vec_id = 0 AND rn <= 3),
+cand AS (SELECT a.vec_id FROM assigned a
+         WHERE a.centroid_id IN (SELECT centroid_id FROM qprobe)
+           AND a.vec_id <> 0),
+q AS (SELECT unnest(embedding) AS qy, generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT v.vec_id,
+         SUM(CAST(v.x AS DOUBLE) * CAST(q.qy AS DOUBLE)) AS dot,
+         SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS nx,
+         SUM(CAST(q.qy AS DOUBLE) * CAST(q.qy AS DOUBLE)) AS ny
+  FROM v JOIN q USING (i)
+  WHERE v.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY v.vec_id)
+SELECT vec_id AS neighbor_id,
+       ROUND(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine_sim
+FROM dots ORDER BY cosine_sim DESC, neighbor_id LIMIT 10
+"""
+
+
+_EMB_DIM = 64  # the driver's embeddings.parquet vector width
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return V.lsh_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10,
-                      n_planes=16, max_hamming=6)
+    return V.lsh_topk(_spread(_t(spark, sf_dir, "embeddings")), query_id=0,
+                      dim=_EMB_DIM, k=10, n_planes=16, max_hamming=6)
+
+
+# The identical hyperplane sign table (driver-side constants) embedded as
+# literal VALUES rows — both engines compute the same sketch.
+_PLANES_VALUES = ",".join(
+    f"({p},{j + 1},{int(s)})"
+    for p, row in enumerate(V.hyperplane_signs(_EMB_DIM, 16, 7))
+    for j, s in enumerate(row))
+
+SQL_EMB_LSH_TOPK = f"""
+WITH planes(p, i, s) AS (VALUES {_PLANES_VALUES}),
+v AS (SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+pd AS (SELECT v.vec_id, planes.p, SUM(CAST(v.x AS DOUBLE) * planes.s) AS d
+       FROM v JOIN planes USING (i) GROUP BY v.vec_id, planes.p),
+sb AS (SELECT vec_id,
+              CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p)
+                            ELSE 0::BIGINT END) AS BIGINT) AS signbits
+       FROM pd GROUP BY vec_id),
+qs AS (SELECT signbits AS qsig FROM sb WHERE vec_id = 0),
+cand AS (SELECT sb.vec_id FROM sb, qs
+         WHERE bit_count(xor(sb.signbits, qs.qsig)) <= 6 AND sb.vec_id <> 0),
+q AS (SELECT unnest(embedding) AS qy, generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT v.vec_id,
+         SUM(CAST(v.x AS DOUBLE) * CAST(q.qy AS DOUBLE)) AS dot,
+         SUM(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS nx,
+         SUM(CAST(q.qy AS DOUBLE) * CAST(q.qy AS DOUBLE)) AS ny
+  FROM v JOIN q USING (i)
+  WHERE v.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY v.vec_id)
+SELECT vec_id AS neighbor_id,
+       ROUND(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine_sim
+FROM dots ORDER BY cosine_sim DESC, neighbor_id LIMIT 10
+"""
 
 
 # =========================================================================
@@ -746,15 +941,58 @@ def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the REAL Arrow mapInPandas plumbing (payload bytes cross
+    into Python in bounded batches; n_bytes measured from the decoded
+    buffer) — while the oracle regenerates the same metadata arithmetic
+    from range(n), since gen_media is a pure md5 function of media_id."""
     from rockefeller_spark import multimodal as M
     media = M.gen_media(spark, n=200, seed=7)
     return (M.extract_features(media)
             .select("media_id", "kind", "n_bytes"))
 
 
+def _media_h_sql(k: int, seed: int = 7) -> str:
+    """DuckDB twin of gen_media's field hash: md5 of 'id:seed:k'."""
+    return ("(('0x' || substr(md5(CAST(media_id AS VARCHAR) || "
+            f"':{seed}:{k}'), 1, 15))::BIGINT)")
+
+
+SQL_MEDIA_FEATURES = f"""
+WITH r AS (SELECT range AS media_id FROM range(200))
+SELECT media_id,
+       CASE {_media_h_sql(0)} % 3 WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(({_media_h_sql(1)} % 8 + 1) * 1024 AS INTEGER) AS n_bytes
+FROM r
+"""
+
+
 def q_media_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rockefeller_spark import multimodal as M
     return M.media_summary(M.gen_media(spark, n=500, seed=7))
+
+
+SQL_MEDIA_ROLLUP = f"""
+WITH r AS (SELECT range AS media_id FROM range(500)),
+m AS (
+  SELECT media_id,
+         CASE {_media_h_sql(0)} % 3 WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST({_media_h_sql(2)} % 8 * 160 + 320 AS INTEGER) AS width0,
+         CAST({_media_h_sql(4)} % 120000 + 500 AS INTEGER) AS duration0
+  FROM r),
+t AS (
+  SELECT kind,
+         CASE kind WHEN 'image' THEN 'png'
+              WHEN 'audio' THEN 'pcm16' ELSE 'h264' END AS codec,
+         CASE WHEN kind IN ('image', 'video') THEN width0 END AS width,
+         CASE WHEN kind <> 'image' THEN duration0 END AS duration_ms
+  FROM m)
+SELECT kind, codec, COUNT(*) AS n,
+       ROUND(AVG(duration_ms), 6) AS avg_duration_ms,
+       MAX(width) AS max_width
+FROM t GROUP BY kind, codec
+"""
 
 
 # =========================================================================
@@ -832,8 +1070,12 @@ ORACLES: dict[str, str] = {
     "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+    "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+    "doc_simhash_pairs": SQL_DOC_SIMHASH_PAIRS,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_centroid_assign": SQL_EMB_CENTROID_ASSIGN,
-    # no oracle (non-SQL-expressible; property-tested instead):
-    # doc_minhash_pairs, doc_simhash_pairs, emb_ivf_topk, emb_lsh_topk
+    "emb_ivf_topk": SQL_EMB_IVF_TOPK,
+    "emb_lsh_topk": SQL_EMB_LSH_TOPK,
+    "media_features": SQL_MEDIA_FEATURES,
+    "media_rollup": SQL_MEDIA_ROLLUP,
 }

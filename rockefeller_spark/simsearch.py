@@ -74,18 +74,30 @@ def assign_centroids(df: DataFrame, centroids: DataFrame,
             .drop("_best"))
 
 
-def ivf_topk(df: DataFrame, centroids: DataFrame, query_id: int, k: int = 10,
-             n_probe: int = 2, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """IVF search: restrict the brute-force scan to the query's ``n_probe``
-    nearest centroid cells. Approximate (recall < 1 when the true neighbor
-    lives in an unprobed cell) but touches ~n_probe/n_centroids of the data."""
+def ivf_build(df: DataFrame, centroids: DataFrame,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """The IVF *build* step, run ONCE and stored/persisted: the corpus with
+    its nearest-centroid cell id attached — (id, vec, centroid_id). Real
+    IVF usage is build-once/search-many; callers persist or write this out
+    (partitioned by centroid_id at fleet scale, so a probe reads only its
+    cells' files) and pass it to :func:`ivf_topk` for every query."""
     assigned = assign_centroids(df, centroids, id_col, vec_col)
-    corpus = df.join(assigned, id_col)
-    q = df.filter(F.col(id_col) == query_id)
+    return df.join(assigned, id_col)
+
+
+def ivf_topk(index: DataFrame, centroids: DataFrame, query_id: int,
+             k: int = 10, n_probe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF search over a pre-built ``index`` (the :func:`ivf_build` output):
+    restrict the brute-force scan to the query's ``n_probe`` nearest
+    centroid cells. Approximate (recall < 1 when the true neighbor lives in
+    an unprobed cell) but touches ~n_probe/n_centroids of the data, and —
+    because the assignment is pre-built — query cost is independent of the
+    build: one broadcast probe-list semi-join + a pruned top-k."""
+    q = index.filter(F.col(id_col) == query_id)
     qcells = (assign_centroids_topn(q, centroids, n_probe, id_col, vec_col)
               .select("centroid_id"))
-    cand = corpus.join(F.broadcast(qcells), "centroid_id", "left_semi")
+    cand = index.join(F.broadcast(qcells), "centroid_id", "left_semi")
     return cosine_topk(cand, query_id, k, id_col, vec_col)
 
 
@@ -105,20 +117,29 @@ def assign_centroids_topn(df: DataFrame, centroids: DataFrame, n: int,
             .filter(F.col("_rn") <= n).drop("_rn"))
 
 
-def lsh_signbits(df: DataFrame, n_planes: int = 16, seed: int = 7,
+def hyperplane_signs(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components: component j of plane p is
+    +1 iff the first md5 byte of ``"{j}:{p}:{seed}"`` is even. Computed
+    driver-side ONCE (they are constants — n_planes × dim values), both
+    for the Spark literals and for the SQL oracle, so any engine
+    reproduces the identical sketch. No RNG state."""
+    import hashlib
+    return [[1.0 if hashlib.md5(f"{j}:{p}:{seed}".encode()).digest()[0] % 2 == 0
+             else -1.0 for j in range(dim)]
+            for p in range(n_planes)]
+
+
+def lsh_signbits(df: DataFrame, dim: int, n_planes: int = 16, seed: int = 7,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Sign-random-projection sketch: bit p = sign(v · h_p) where the
-    hyperplane h_p has deterministic ±1 components derived from
-    md5(dim, plane, seed) — reproducible everywhere, no RNG state."""
-    dim = F.size(F.col(vec_col))
+    """Sign-random-projection sketch: bit p = sign(v · h_p). ``dim`` is a
+    plain int so the hyperplanes are baked as LITERAL sign arrays — the
+    per-row work is exactly n_planes fused multiply-add folds over the
+    vector (a previous formulation re-derived every sign via md5 inside a
+    per-row transform: dim × n_planes md5 calls per row, ~100× the
+    arithmetic for identical output)."""
+    planes = hyperplane_signs(dim, n_planes, seed)
     def plane_dot(p: int) -> Column:
-        # component j of plane p: +1 if md5-derived bit else -1
-        signs = F.transform(
-            F.sequence(F.lit(0), dim - 1),
-            lambda j: F.when(
-                F.conv(F.substring(F.md5(F.concat_ws(
-                    ":", j.cast("string"), F.lit(str(p)), F.lit(str(seed)))), 1, 2),
-                    16, 10).cast("int") % 2 == 0, 1.0).otherwise(-1.0))
+        signs = F.array(*[F.lit(s) for s in planes[p]])
         return F.aggregate(F.zip_with(F.col(vec_col), signs,
                                       lambda x, s: x.cast("double") * s),
                            F.lit(0.0), lambda acc, v: acc + v)
@@ -129,13 +150,13 @@ def lsh_signbits(df: DataFrame, n_planes: int = 16, seed: int = 7,
     return df.select(F.col(id_col), sig.alias("signbits"))
 
 
-def lsh_topk(df: DataFrame, query_id: int, k: int = 10, n_planes: int = 16,
-             max_hamming: int = 4, seed: int = 7, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+def lsh_topk(df: DataFrame, query_id: int, dim: int, k: int = 10,
+             n_planes: int = 16, max_hamming: int = 4, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """LSH-bucketed ANN: candidates within ``max_hamming`` of the query's
     sign pattern, re-ranked by exact cosine. The sketch join is on a long,
     the re-rank touches only candidates."""
-    sigs = lsh_signbits(df, n_planes, seed, id_col, vec_col)
+    sigs = lsh_signbits(df, dim, n_planes, seed, id_col, vec_col)
     qsig = sigs.filter(F.col(id_col) == query_id).select(
         F.col("signbits").alias("_qsig"))
     cand_ids = (sigs.crossJoin(F.broadcast(qsig))

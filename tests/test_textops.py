@@ -41,16 +41,19 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert not any(4 in p for p in keys)           # unrelated doc clean
 
 
-def test_minhash_pairs_superset_of_exact_dups(spark, docs):
+@pytest.mark.parametrize("portable", [False, True])
+def test_minhash_pairs_superset_of_exact_dups(spark, docs, portable):
     pairs = D.minhash_dedup_pairs(docs, n_hashes=32, n_bands=8,
-                                  threshold=0.9).toPandas()
+                                  threshold=0.9, portable=portable).toPandas()
     keys = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
     # identical docs collide in every band with est_jaccard 1.0
     assert {(0, 1), (0, 5), (1, 5)} <= keys
 
 
-def test_simhash_near_pairs(spark, docs):
-    pairs = D.simhash_near_pairs(docs, max_hamming=3).toPandas()
+@pytest.mark.parametrize("portable", [False, True])
+def test_simhash_near_pairs(spark, docs, portable):
+    pairs = D.simhash_near_pairs(docs, max_hamming=3,
+                                 portable=portable).toPandas()
     keys = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
     assert {(0, 1), (0, 5), (1, 5)} <= keys        # identical → hamming 0
     assert not any(4 in p and 0 in p for p in keys)
@@ -91,8 +94,10 @@ def test_ivf_and_lsh_recall(spark):
     cents = (df.filter(F.col("vec_id") < 8)
              .select(F.col("vec_id").alias("centroid_id"), "embedding"))
     exact = set(V.cosine_topk(df, 0, k=10).toPandas().neighbor_id)
-    ivf = set(V.ivf_topk(df, cents, 0, k=10, n_probe=4).toPandas().neighbor_id)
-    lsh = set(V.lsh_topk(df, 0, k=10, n_planes=16, max_hamming=6)
+    index = V.ivf_build(df, cents)   # build once, search many
+    ivf = set(V.ivf_topk(index, cents, 0, k=10, n_probe=4)
+              .toPandas().neighbor_id)
+    lsh = set(V.lsh_topk(df, 0, dim=16, k=10, n_planes=16, max_hamming=6)
               .toPandas().neighbor_id)
     # approximate methods: reasonable recall on random data
     assert len(ivf & exact) >= 3
