@@ -162,16 +162,23 @@ class LakeTable:
         return self.snapshot(self.current_version())
 
     def snapshot(self, version: int) -> Snapshot:
-        with open(self._meta_path(version)) as fh:
-            return Snapshot.from_json(json.load(fh))
+        try:
+            with open(self._meta_path(version)) as fh:
+                return Snapshot.from_json(json.load(fh))
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot v{version} does not exist (never committed, or "
+                f"expired by expire_snapshots); available: "
+                f"{[s.snapshot_id for s in self.history()]}") from None
 
     def history(self) -> list[Snapshot]:
-        out = []
-        v = 0
-        while os.path.exists(self._meta_path(v)):
-            out.append(self.snapshot(v))
-            v += 1
-        return out
+        """All snapshots still on disk, oldest first. After
+        ``expire_snapshots`` the list starts at the oldest retained
+        version, not v0."""
+        versions = sorted(
+            int(f[1:9]) for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json"))
+        return [self.snapshot(v) for v in versions]
 
     def _write_snapshot(self, snap: Snapshot) -> None:
         """The commit point. Exclusive-create of the metadata file wins the
@@ -337,7 +344,8 @@ class LakeTable:
         table's high-water mark can still arrive — the operator's call).
         At fleet scale this runs per-bucket incrementally; here it is a
         whole-table pass. Time travel to pre-compaction snapshots still
-        works (old files are referenced by old metadata, never deleted)."""
+        works (old files stay referenced by old metadata) until
+        ``expire_snapshots`` reclaims them."""
         snap = self.current()
         df = self.read()
         if drop_tombstones and "_deleted" in df.columns:
@@ -346,6 +354,62 @@ class LakeTable:
         remove = {f.path for f in snap.files}
         return self.commit(adds, remove, lineage={"op": "compact"},
                            expected_version=snap.snapshot_id)
+
+    def expire_snapshots(self, keep_last: int = 2, *,
+                         clean_orphans: bool = True) -> dict[str, Any]:
+        """Maintenance: expire old snapshots and physically delete data
+        files no retained snapshot references (Iceberg's ``expireSnapshots``
+        + ``removeOrphanFiles`` analog). Without this, streaming cadence —
+        one snapshot per micro-batch — grows metadata and dead files
+        without bound even though ``compact`` logically supersedes them.
+
+        Keeps the most recent ``keep_last`` snapshots (always including the
+        current one): their time travel keeps working; reads of expired
+        versions raise cleanly. ``clean_orphans`` additionally removes
+        crash leftovers — ``.stage-*`` dirs and committed-by-no-one data
+        files — which are ignorable garbage until deleted, exactly
+        Iceberg's orphan model.
+
+        Safety: the current snapshot chain is never touched (``keep_last``
+        is floored at 1), deletion happens strictly after the retained set
+        is computed from on-disk metadata, and the operation is
+        single-writer like commits themselves. Returns deletion stats."""
+        keep_last = max(int(keep_last), 1)
+        current = self.current_version()
+        retained = [s for s in self.history()
+                    if s.snapshot_id > current - keep_last]
+        referenced = {f.path for s in retained for f in s.files}
+
+        expired_meta = 0
+        for s in self.history():
+            if s.snapshot_id <= current - keep_last:
+                os.remove(self._meta_path(s.snapshot_id))
+                expired_meta += 1
+
+        deleted_files = 0
+        freed_bytes = 0
+        for fname in os.listdir(self.data_dir):
+            rel = os.path.join("data", fname)
+            if rel in referenced:
+                continue
+            full = os.path.join(self.data_dir, fname)
+            freed_bytes += os.path.getsize(full)
+            os.remove(full)
+            deleted_files += 1
+
+        orphan_dirs = 0
+        if clean_orphans:
+            for d in os.listdir(self.path):
+                if d.startswith(".stage-"):
+                    shutil.rmtree(os.path.join(self.path, d),
+                                  ignore_errors=True)
+                    orphan_dirs += 1
+
+        return {"expired_snapshots": expired_meta,
+                "deleted_files": deleted_files,
+                "freed_bytes": freed_bytes,
+                "orphan_dirs_removed": orphan_dirs,
+                "retained": [s.snapshot_id for s in retained]}
 
     def stats(self) -> dict[str, Any]:
         snap = self.current()

@@ -57,6 +57,39 @@ def split_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, bad
 
 
+# engine columns the quarantine writer attaches; stripped before re-drive
+_QUARANTINE_META = ["_reason", "quarantined_at", "_stream_id", "_epoch"]
+
+
+def requeue_quarantine(table, quarantined: DataFrame, *,
+                       repair=None, stream_id: str | None = None,
+                       epoch: int | None = None):
+    """Re-drive quarantined rows after the upstream defect is fixed — the
+    engine's retry ladder (the reference re-ran failed keys at decreasing
+    periods, ``/root/reference/scripts/collector.py:222-233``; here a
+    re-drive is one idempotent batch apply instead of a scheduled re-scrape).
+
+    ``repair`` (optional) is a DataFrame→DataFrame transform that fixes the
+    rows (e.g. remap a bad op code, backfill a key). The repaired rows are
+    re-CLASSIFIED from scratch — a repair that didn't actually fix a row
+    sends it straight back to quarantine, never into the lake — and the
+    clean rows go through the normal ``apply_batch`` (LWW-idempotent, so
+    re-driving rows that somehow already applied is harmless).
+
+    Returns ``(apply_result, still_bad)``: the MERGE result for the
+    repaired rows and the rows that remain quarantined (with fresh
+    ``_reason`` / ``quarantined_at``) for the next rung of the ladder.
+    """
+    from rockefeller_spark.merge import apply_batch
+    rows = quarantined.drop(*[c for c in _QUARANTINE_META
+                              if c in quarantined.columns])
+    if repair is not None:
+        rows = repair(rows)
+    good, still_bad = split_quarantine(rows)
+    result = apply_batch(table, good, stream_id=stream_id, epoch=epoch)
+    return result, still_bad
+
+
 def verify_liveness(events: DataFrame, key: str = "conv_id",
                     ts_col: str = "event_ts",
                     horizon: str = "2024-01-15 00:00:00") -> DataFrame:

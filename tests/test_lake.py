@@ -114,3 +114,91 @@ def test_normalize_columns(spark):
     clash = spark.range(1).select(F.lit(1).alias("a b"), F.lit(2).alias("A_B"))
     with pytest.raises(ValueError):
         normalize_columns(clash)
+
+
+def test_expire_snapshots_gc(spark, table):
+    """After expiry: current reads work, retained time travel works,
+    expired time travel raises cleanly, unreferenced data files and
+    crash-orphan stage dirs are physically removed."""
+    ev = gen.gen_change_events(spark, n_events=800, n_convs=10, seed=61)
+    pdf = ev.toPandas()
+    for k in range(4):  # snapshots v1..v4
+        apply_batch(table, spark.createDataFrame(pdf[pdf.lsn % 4 == k], ev.schema))
+    before = read_state(table).toPandas()
+    # plant crash leftovers: a stage dir and a data file no snapshot owns
+    os.makedirs(os.path.join(table.path, ".stage-deadbeef"), exist_ok=True)
+    orphan = os.path.join(table.data_dir, "orphan-b00000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    n_files_before = len(os.listdir(table.data_dir))
+
+    stats = table.expire_snapshots(keep_last=2)
+    assert stats["expired_snapshots"] == 3          # v0, v1, v2
+    assert stats["orphan_dirs_removed"] == 1
+    assert stats["deleted_files"] > 0
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(os.path.join(table.path, ".stage-deadbeef"))
+    assert len(os.listdir(table.data_dir)) < n_files_before
+
+    # current + retained reads intact
+    after = read_state(table).toPandas()
+    assert after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True) \
+        .equals(before.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert table.read(3).count() >= 0               # retained time travel
+    assert [s.snapshot_id for s in table.history()] == [3, 4]
+    # every file still on disk is referenced by a retained snapshot
+    referenced = {os.path.basename(f.path)
+                  for s in table.history() for f in s.files}
+    assert set(os.listdir(table.data_dir)) == referenced
+    # expired time travel raises cleanly
+    with pytest.raises(ValueError, match="expired"):
+        table.read(1)
+    # the table keeps working after expiry
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn % 4 == 3], ev.schema))
+    assert table.current_version() == 5
+
+
+def test_requeue_quarantine_redrive(spark, table):
+    """The retry ladder: corrupt -> quarantine -> fix upstream -> re-drive;
+    final state equals the oracle over the original (uncorrupted) log."""
+    from rockefeller_spark.oracle import replay
+    from rockefeller_spark.quarantine import requeue_quarantine, split_quarantine
+    ev = gen.gen_change_events(spark, n_events=1000, n_convs=10, seed=67)
+    # upstream bug: op 'U' emitted as unknown 'W' for a slice of events
+    corrupted = ev.withColumn(
+        "op", F.when((F.col("lsn") % 13 == 0) & (F.col("op") == "U"),
+                     F.lit("W")).otherwise(F.col("op")))
+    good, bad = split_quarantine(corrupted)
+    apply_batch(table, good)
+    n_bad = bad.count()
+    assert n_bad > 0
+
+    # the fix: remap the bad op code, then re-drive the quarantined rows
+    def repair(df):
+        return df.withColumn(
+            "op", F.when(F.col("op") == "W", F.lit("U")).otherwise(F.col("op")))
+    res, still_bad = requeue_quarantine(table, bad, repair=repair)
+    assert still_bad.count() == 0
+    assert not res.skipped
+
+    got = read_state(table).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = replay(ev.toPandas())
+    import pandas as pd
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+
+def test_requeue_unrepaired_rows_stay_quarantined(spark, table):
+    """A repair that doesn't fix a row sends it back to quarantine — it can
+    never leak into the lake."""
+    from rockefeller_spark.quarantine import requeue_quarantine, split_quarantine
+    ev = gen.gen_change_events(spark, n_events=200, n_convs=5, seed=71)
+    corrupted = ev.withColumn(
+        "op", F.when(F.col("lsn") % 7 == 0, F.lit("Z")).otherwise(F.col("op")))
+    _, bad = split_quarantine(corrupted)
+    n_bad = bad.count()
+    res, still_bad = requeue_quarantine(table, bad)   # no repair given
+    assert still_bad.count() == n_bad                 # nothing fixed
+    assert res.skipped                                # nothing to apply
+    assert read_state(table).count() == 0
