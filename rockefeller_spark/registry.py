@@ -797,7 +797,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 # =========================================================================
 
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return V.cosine_topk(_spread(_t(spark, sf_dir, "embeddings")), query_id=0, k=10)
+    raw = _t(spark, sf_dir, "embeddings")
+    # corpus side spread for the per-row vector math; the one-row query
+    # lookup reads the raw scan (no repartition for a single row)
+    return V.cosine_topk(_spread(raw), query_id=0, k=10, query_df=raw)
 
 
 SQL_EMB_COSINE_TOPK = """
@@ -849,10 +852,12 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (persisted — the single-session stand-in for a stored index table
     partitioned by centroid_id) and searched; query cost is one broadcast
     probe-list semi-join + a pruned top-k."""
-    e = _spread(_t(spark, sf_dir, "embeddings"))
-    cents = (e.filter(F.col("vec_id") < 8)
+    raw = _t(spark, sf_dir, "embeddings")
+    # centroids from the raw scan (8 rows — spreading it would add a
+    # query-time repartition to a broadcast-build side for nothing)
+    cents = (raw.filter(F.col("vec_id") < 8)
              .select(F.col("vec_id").alias("centroid_id"), "embedding"))
-    index = V.ivf_build(e, cents).persist()
+    index = V.ivf_build(_spread(raw), cents).persist()
     return V.ivf_topk(index, cents, query_id=0, k=10, n_probe=3)
 
 

@@ -38,12 +38,16 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def cosine_topk(df: DataFrame, query_id: int, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_df: DataFrame | None = None) -> DataFrame:
     """Exact top-k cosine neighbors of ``query_id`` (excluded from its own
     result). The one-row query side is broadcast — no shuffle of the
     corpus; the ranking is a global top-k (orderBy+limit → Spark's
-    TakeOrdered, no full sort)."""
-    q = df.filter(F.col(id_col) == query_id).select(
+    TakeOrdered, no full sort). ``query_df`` optionally supplies the query
+    row from a cheaper source than ``df`` (the ANN callers pass the base
+    table so the one-row lookup doesn't re-run the candidate subtree)."""
+    src = query_df if query_df is not None else df
+    q = src.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec"))
     scored = (df.filter(F.col(id_col) != query_id)
               .crossJoin(F.broadcast(q))
@@ -93,12 +97,21 @@ def ivf_topk(index: DataFrame, centroids: DataFrame, query_id: int,
     centroid cells. Approximate (recall < 1 when the true neighbor lives in
     an unprobed cell) but touches ~n_probe/n_centroids of the data, and —
     because the assignment is pre-built — query cost is independent of the
-    build: one broadcast probe-list semi-join + a pruned top-k."""
-    q = index.filter(F.col(id_col) == query_id)
-    qcells = (assign_centroids_topn(q, centroids, n_probe, id_col, vec_col)
+    build: one broadcast probe-list semi-join + a pruned top-k. The probe
+    list itself is a global top-n over (1 query row × centroids) —
+    TakeOrdered, no window/shuffle."""
+    q = index.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv"))
+    c = F.broadcast(centroids.select(F.col("centroid_id"),
+                                     F.col(vec_col).alias("_cvec")))
+    qcells = (q.crossJoin(c)
+              .select("centroid_id",
+                      cosine(F.col("_qv"), F.col("_cvec")).alias("_sim"))
+              .orderBy(F.col("_sim").desc(), "centroid_id")
+              .limit(n_probe)
               .select("centroid_id"))
     cand = index.join(F.broadcast(qcells), "centroid_id", "left_semi")
-    return cosine_topk(cand, query_id, k, id_col, vec_col)
+    return cosine_topk(cand, query_id, k, id_col, vec_col, query_df=index)
 
 
 def assign_centroids_topn(df: DataFrame, centroids: DataFrame, n: int,
@@ -155,13 +168,17 @@ def lsh_topk(df: DataFrame, query_id: int, dim: int, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """LSH-bucketed ANN: candidates within ``max_hamming`` of the query's
     sign pattern, re-ranked by exact cosine. The sketch join is on a long,
-    the re-rank touches only candidates."""
-    sigs = lsh_signbits(df, dim, n_planes, seed, id_col, vec_col)
+    the re-rank touches only candidates. The sketch table feeds two
+    subtrees (query side + candidate filter) → persisted, one long per
+    row; at fleet scale it is a stored sketch column, computed once."""
+    sigs = lsh_signbits(df, dim, n_planes, seed, id_col, vec_col).persist()
     qsig = sigs.filter(F.col(id_col) == query_id).select(
         F.col("signbits").alias("_qsig"))
     cand_ids = (sigs.crossJoin(F.broadcast(qsig))
                 .filter(F.bit_count(F.col("signbits").bitwiseXOR(F.col("_qsig")))
                         <= max_hamming)
                 .select(id_col))
-    cand = df.join(cand_ids, id_col, "left_semi")
-    return cosine_topk(cand, query_id, k, id_col, vec_col)
+    # Hamming-bounded candidate lists are small → broadcast the id set so
+    # the corpus never shuffles for the semi-join
+    cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    return cosine_topk(cand, query_id, k, id_col, vec_col, query_df=df)
