@@ -10,8 +10,9 @@ for the registry's headline queries at $SPARK_GRAFT_SF_DIR.
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir      (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] cores    (default 32)
-  BENCH_EVENTS         CDC event count   (default 2_000_000)
+  BENCH_EVENTS         CDC event count   (default 50_000_000)
   BENCH_BATCHES        micro-batches     (default 4)
+  BENCH_BUCKETS        table key buckets (default 256)
   BENCH_APPLY_ONLY     skip registry queries (for the scaling harness)
 
 The same job runs unchanged at any parallelism — the N-vs-4N scaling
@@ -90,8 +91,12 @@ def bench_cdc_apply(spark, n_events: int, n_batches: int,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    # 5×10^7 events into 256 buckets: one notch up from round 1 (2M/64) so
+    # the run exercises file pruning and the fused one-shuffle apply on a
+    # table much larger than any single executor's working set
+    n_events = int(os.environ.get("BENCH_EVENTS", "50000000"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
+    n_buckets = int(os.environ.get("BENCH_BUCKETS", "256"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     apply_only = os.environ.get("BENCH_APPLY_ONLY", "") == "1"
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -116,7 +121,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     total0 = time.time()
-    cdc = bench_cdc_apply(spark, n_events, n_batches, repeats=repeats)
+    cdc = bench_cdc_apply(spark, n_events, n_batches, n_buckets=n_buckets,
+                          repeats=repeats)
 
     queries: dict[str, float] = {"cdc_apply_stream": cdc["apply_sec"]}
     if not apply_only:

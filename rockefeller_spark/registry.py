@@ -940,6 +940,60 @@ FROM dots ORDER BY cosine_sim DESC, neighbor_id LIMIT 10
 """
 
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (the vector member of the dedup
+    family). The driver's embeddings are random (max pairwise cosine 0.51),
+    so the corpus is augmented with DETERMINISTIC perturbed copies of the
+    first 50 vectors (id+10000, component i scaled by 1+0.002·((i%7)−3) —
+    an expression both engines evaluate bit-identically): the operator must
+    recover exactly those 50 planted pairs through LSH banding + exact
+    cosine verify, and the oracle checks the full pipeline by value."""
+    raw = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    pert = raw.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x, i: x * (F.lit(1.0) + F.lit(0.002)
+                                      * (((i + 1) % 7) - 3)))
+        .alias("embedding"))
+    corpus = _spread(raw.unionByName(pert))
+    return V.embedding_near_dup_pairs(corpus, dim=_EMB_DIM, threshold=0.98,
+                                      n_planes=16, seed=7, max_hamming=3)
+
+
+SQL_EMB_NEAR_DUP = f"""
+WITH planes(p, i, s) AS (VALUES {_PLANES_VALUES}),
+v0 AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+corp AS (SELECT vec_id, x, i FROM v0
+         UNION ALL
+         SELECT vec_id + 10000, x * (1 + 0.002 * ((i % 7) - 3)), i
+         FROM v0 WHERE vec_id < 50),
+pd AS (SELECT corp.vec_id, planes.p, SUM(corp.x * planes.s) AS d
+       FROM corp JOIN planes USING (i) GROUP BY corp.vec_id, planes.p),
+sb AS (SELECT vec_id,
+              CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p)
+                            ELSE 0::BIGINT END) AS BIGINT) AS signbits
+       FROM pd GROUP BY vec_id),
+banded AS (SELECT vec_id, signbits, b AS band,
+                  (signbits >> (4 * b)) & 15 AS chunk
+           FROM sb, UNNEST(range(0, 4)) AS u(b)),
+cands AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+          WHERE bit_count(xor(a.signbits, b.signbits)) <= 3),
+pc AS (SELECT c.id_a, c.id_b,
+              ROUND(SUM(va.x * vb.x)
+                    / (sqrt(SUM(va.x * va.x)) * sqrt(SUM(vb.x * vb.x))), 6)
+                AS cosine_sim
+       FROM cands c JOIN corp va ON va.vec_id = c.id_a
+                    JOIN corp vb ON vb.vec_id = c.id_b AND vb.i = va.i
+       GROUP BY 1, 2)
+SELECT id_a, id_b, cosine_sim FROM pc WHERE cosine_sim >= 0.98
+"""
+
+
 # =========================================================================
 # Multimodal (deterministic generated media; decode is stubbed — see
 # rockefeller_spark/multimodal.py)
@@ -1042,6 +1096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_centroid_assign": q_emb_centroid_assign,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_lsh_topk": q_emb_lsh_topk,
+    "emb_near_dup": q_emb_near_dup,
     # multimodal (stubbed decode; plumbing real)
     "media_features": q_media_features,
     "media_rollup": q_media_rollup,
@@ -1081,6 +1136,7 @@ ORACLES: dict[str, str] = {
     "emb_centroid_assign": SQL_EMB_CENTROID_ASSIGN,
     "emb_ivf_topk": SQL_EMB_IVF_TOPK,
     "emb_lsh_topk": SQL_EMB_LSH_TOPK,
+    "emb_near_dup": SQL_EMB_NEAR_DUP,
     "media_features": SQL_MEDIA_FEATURES,
     "media_rollup": SQL_MEDIA_ROLLUP,
 }

@@ -130,6 +130,46 @@ def assign_centroids_topn(df: DataFrame, centroids: DataFrame, n: int,
             .filter(F.col("_rn") <= n).drop("_rn"))
 
 
+def embedding_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.98,
+                             n_planes: int = 16, seed: int = 7,
+                             max_hamming: int = 3, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """All-pairs embedding near-duplicate detection at corpus scale — the
+    vector-space member of the dedup family (exact / Jaccard / MinHash /
+    SimHash live in dedup.py).
+
+    Never all-pairs: sign-LSH sketch (one long per row, literal
+    hyperplanes) → pigeonhole band join (4 chunks of n_planes/4 bits; any
+    pair within ``max_hamming`` ≤ 3 agrees exactly on ≥1 chunk) → exact
+    cosine verify ≥ ``threshold`` on candidates only. The shuffle key is a
+    small int chunk; vectors join in only for the surviving candidate ids.
+    Output (id_a, id_b, cosine_sim)."""
+    assert n_planes % 4 == 0
+    sigs = lsh_signbits(df, dim, n_planes, seed, id_col, vec_col).persist()
+    width = n_planes // 4
+    mask = (1 << width) - 1
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("signbits"), width * i).bitwiseAND(F.lit(mask))
+        for i in range(4)])
+    banded = sigs.select(F.col(id_col).alias("id"), "signbits",
+                         F.posexplode(chunks).alias("band", "chunk"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.signbits").bitwiseXOR(F.col("b.signbits")))
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .filter(ham <= max_hamming)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    ea = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
+            .withColumn("cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim"))
+
+
 def hyperplane_signs(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
     """Deterministic ±1 hyperplane components: component j of plane p is
     +1 iff the first md5 byte of ``"{j}:{p}:{seed}"`` is even. Computed

@@ -104,3 +104,21 @@ def test_ivf_and_lsh_recall(spark):
     assert len(lsh & exact) >= 3
     # every returned id is a real doc, never the query itself
     assert 0 not in ivf and 0 not in lsh
+
+
+def test_embedding_near_dup_pairs_recovers_planted_dups(spark):
+    import numpy as np
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(100, 16)).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(100)]
+    # plant near-dup copies of the first 10 vectors (tiny perturbation)
+    rows += [(1000 + i, [float(x * 1.001) if j % 2 else float(x)
+                         for j, x in enumerate(vecs[i])])
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = V.embedding_near_dup_pairs(df, dim=16, threshold=0.98,
+                                       n_planes=16, max_hamming=3).toPandas()
+    got = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert {(i, 1000 + i) for i in range(10)} <= got   # all planted pairs found
+    # no false positives among unrelated random vectors
+    assert all(b - a == 1000 for a, b in got)
