@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--table", required=True, help="icelake table path")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--metrics", default=None)
+    ap.add_argument("--quarantine", default=None,
+                    help="dead-letter table dir (default <table>/quarantine)")
     ap.add_argument("--n-buckets", type=int, default=256,
                     help="key buckets for a NEW table (size to ~target "
                          "parallelism; thousands at 10^10 rows)")
@@ -57,6 +59,7 @@ def main() -> None:
                                           if args.continuous else None),
                    watermark=args.watermark,
                    write_salt=args.write_salt,
+                   quarantine_dir=args.quarantine,
                    metrics=metrics)
     q.awaitTermination()
 

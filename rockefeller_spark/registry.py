@@ -585,6 +585,7 @@ def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id",
                     X.token_count("text").alias("n_tokens"),
+                    X.bpe_ish_token_count("text").alias("n_subword_tokens"),
                     F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
                     X.fingerprint("text").alias("fp"))
 
@@ -592,6 +593,10 @@ def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_TOKENS = f"""
 SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+                            x -> x <> ''))
+            + len(regexp_replace(text, '[A-Za-z]+|[0-9]+|\\s+', '', 'g'))
+            AS INTEGER) AS n_subword_tokens,
        ROUND(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
              / greatest(len(text), 1), 6) AS punct_ratio,
        md5({_CANON_SQL}) AS fp
