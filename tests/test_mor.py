@@ -1,0 +1,95 @@
+"""Merge-on-read apply mode: delta appends + read-time LWW resolution."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rockefeller_spark import gen
+from rockefeller_spark.lake import LakeTable
+from rockefeller_spark.merge import apply_batch, bootstrap, read_state
+from rockefeller_spark.oracle import replay
+from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"),
+                            STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+
+
+def _canon(pdf):
+    return pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort") \
+              .reset_index(drop=True)
+
+
+def _check(table, pdf_events):
+    got = _canon(read_state(table).toPandas())
+    want = _canon(replay(pdf_events))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    return got
+
+
+def test_mor_out_of_order_batches_equal_oracle(spark, table):
+    ev = gen.gen_change_events(spark, n_events=2000, n_convs=20, seed=73,
+                               p_delete=0.2, p_dup_lsn=0.1)
+    pdf = ev.toPandas()
+    for i, k in enumerate([3, 1, 0, 2]):           # out of LSN order
+        res = apply_batch(table, spark.createDataFrame(
+            pdf[pdf.lsn % 4 == k], ev.schema), mode="mor")
+        assert res.snapshot.lineage["mode"] == "mor"
+    assert table.current().multi_version
+    _check(table, pdf)
+    # pure append: no file was ever removed across the snapshot chain
+    counts = [len(s.files) for s in table.history()]
+    assert counts == sorted(counts)
+
+
+def test_mor_compact_resolves_to_single_version(spark, table):
+    ev = gen.gen_change_events(spark, n_events=1500, n_convs=15, seed=79,
+                               p_delete=0.25)
+    pdf = ev.toPandas()
+    for k in range(3):
+        apply_batch(table, spark.createDataFrame(pdf[pdf.lsn % 3 == k],
+                                                 ev.schema), mode="mor")
+    stored_multi = table.read().count()
+    visible = _check(table, pdf)
+    table.compact()
+    assert not table.current().multi_version
+    # compaction resolved LWW and dropped tombstones: physical == visible
+    assert table.read().count() == len(visible) < stored_multi
+    _check(table, pdf)
+    # post-compaction CoW and MOR applies still work on the same table
+    more = gen.gen_change_events(spark, n_events=500, n_convs=15, seed=79)
+    more = more.withColumn("lsn", F.col("lsn") + F.lit(10_000_000))
+    apply_batch(table, more, mode="mor")
+    _check(table, pd.concat([pdf, more.toPandas()], ignore_index=True))
+
+
+def test_mor_epoch_replay_skipped(spark, table):
+    ev = gen.gen_change_events(spark, n_events=300, n_convs=5, seed=83)
+    apply_batch(table, ev, stream_id="s", epoch=0, mode="mor")
+    n_files = len(table.current().files)
+    res = apply_batch(table, ev, stream_id="s", epoch=0, mode="mor")
+    assert res.skipped
+    assert len(table.current().files) == n_files
+    _check(table, ev.toPandas())
+
+
+def test_mixed_cow_and_mor_converge(spark, table):
+    base = gen.gen_transcripts(spark, n_convs=10, seed=5)
+    bootstrap(table, base)
+    ev = gen.gen_change_events(spark, n_events=1200, n_convs=10, seed=89)
+    pdf = ev.toPandas()
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn % 3 == 0], ev.schema),
+                mode="cow")
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn % 3 == 2], ev.schema),
+                mode="mor")
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn % 3 == 1], ev.schema),
+                mode="cow")
+    got = _canon(read_state(table).toPandas())
+    want = _canon(replay(pdf, base=base.toPandas()))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
