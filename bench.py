@@ -39,8 +39,9 @@ HEADLINE_QUERIES = [
     "cdc_apply_full", "cdc_lww_latest", "cdc_high_water_marks",
     "pricing_summary", "revenue_by_nation", "brand_revenue",
     "topk_orders_per_priority", "sessionize", "hourly_rollup",
-    "doc_exact_dedup", "doc_minhash_pairs", "doc_tokens",
-    "emb_cosine_topk", "emb_centroid_assign",
+    "doc_exact_dedup", "doc_minhash_pairs", "doc_simhash_pairs",
+    "doc_tokens", "emb_cosine_topk", "emb_centroid_assign",
+    "emb_ivf_topk", "emb_lsh_topk", "emb_near_dup",
 ]
 
 
@@ -50,11 +51,15 @@ def _force(df) -> None:
 
 
 def bench_cdc_apply(spark, n_events: int, n_batches: int,
-                    n_buckets: int = 64, repeats: int = 1) -> dict:
+                    n_buckets: int = 64, repeats: int = 1,
+                    mode: str = "cow") -> dict:
     """Steady-state apply throughput. ``repeats`` re-runs the whole
     batch loop against a fresh table and reports the best wall — the
     least-interfered, JIT-warm measurement (this sandbox's shared
-    hypervisor injects minutes-long noise windows; see BASELINE.md)."""
+    hypervisor injects minutes-long noise windows; see BASELINE.md).
+    ``mode="mor"`` measures the merge-on-read path (delta appends, no
+    bucket rewrite) and includes the final read-time resolution + the
+    compaction in a separate field so the trade is visible."""
     work = tempfile.mkdtemp(prefix="rk-bench-")
     events_path = os.path.join(work, "events")
     # materialize the log OUTSIDE the timed window
@@ -68,6 +73,7 @@ def bench_cdc_apply(spark, n_events: int, n_batches: int,
     span = n_events // n_batches + 1
     walls = []
     stats = None
+    resolve_sec = None
     for r in range(max(repeats, 1)):
         tdir = os.path.join(work, f"table-{r}")
         table = LakeTable.create(spark, tdir, STORED_TRANSCRIPT_SCHEMA,
@@ -76,16 +82,24 @@ def bench_cdc_apply(spark, n_events: int, n_batches: int,
         for b in range(n_batches):
             batch = log.filter((log.lsn >= b * span) & (log.lsn < (b + 1) * span))
             apply_batch(table, batch, stream_id="bench", epoch=b,
-                        collect_metrics=False)
+                        collect_metrics=False, mode=mode)
         walls.append(round(time.time() - t0, 3))
+        if mode == "mor":
+            t1 = time.time()
+            # pay the deferred LWW resolution MOR traded apply cost for
+            table.compact()
+            resolve_sec = round(time.time() - t1, 3)
         stats = table.stats()
         shutil.rmtree(tdir, ignore_errors=True)
     elapsed = min(walls)
     shutil.rmtree(work, ignore_errors=True)
-    return {"apply_sec": elapsed, "apply_walls": walls,
-            "events_per_sec": round(n_events / elapsed, 1),
-            "n_events": n_events, "n_batches": n_batches,
-            "final_rows": stats["rows"], "snapshots": stats["snapshot_id"]}
+    out = {"apply_sec": elapsed, "apply_walls": walls,
+           "events_per_sec": round(n_events / elapsed, 1),
+           "n_events": n_events, "n_batches": n_batches, "mode": mode,
+           "final_rows": stats["rows"], "snapshots": stats["snapshot_id"]}
+    if resolve_sec is not None:
+        out["compact_resolve_sec"] = resolve_sec
+    return out
 
 
 def main() -> None:
@@ -99,6 +113,7 @@ def main() -> None:
     n_buckets = int(os.environ.get("BENCH_BUCKETS", "256"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     apply_only = os.environ.get("BENCH_APPLY_ONLY", "") == "1"
+    with_mor = os.environ.get("BENCH_MOR", "1") == "1" and not apply_only
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     # 4 shuffle partitions per core: smaller per-reducer hash state (less
@@ -123,8 +138,15 @@ def main() -> None:
     total0 = time.time()
     cdc = bench_cdc_apply(spark, n_events, n_batches, n_buckets=n_buckets,
                           repeats=repeats)
+    cdc_mor = None
+    if with_mor:
+        cdc_mor = bench_cdc_apply(spark, n_events, n_batches,
+                                  n_buckets=n_buckets, repeats=repeats,
+                                  mode="mor")
 
     queries: dict[str, float] = {"cdc_apply_stream": cdc["apply_sec"]}
+    if cdc_mor is not None:
+        queries["cdc_apply_stream_mor"] = cdc_mor["apply_sec"]
     if not apply_only:
         for name in HEADLINE_QUERIES:
             fn = registry.QUERIES[name]
@@ -141,6 +163,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "cdc": cdc,
+        "cdc_mor": cdc_mor,
     }
     spark.stop()
     print(json.dumps(out))

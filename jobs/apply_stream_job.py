@@ -38,6 +38,11 @@ def main() -> None:
                     help="key buckets for a NEW table (size to ~target "
                          "parallelism; thousands at 10^10 rows)")
     ap.add_argument("--write-salt", type=int, default=4)
+    ap.add_argument("--mode", choices=["cow", "mor"], default="cow",
+                    help="apply strategy: copy-on-write (rewrite touched "
+                         "buckets; plain-scan reads) or merge-on-read "
+                         "(append deltas, O(batch) apply; reads resolve "
+                         "LWW until compaction)")
     ap.add_argument("--continuous", action="store_true")
     ap.add_argument("--max-files-per-trigger", type=int, default=64)
     ap.add_argument("--watermark", default="1 hour")
@@ -59,6 +64,7 @@ def main() -> None:
                                           if args.continuous else None),
                    watermark=args.watermark,
                    write_salt=args.write_salt,
+                   mode=args.mode,
                    quarantine_dir=args.quarantine,
                    metrics=metrics)
     q.awaitTermination()

@@ -82,6 +82,11 @@ class Snapshot:
     committed_epochs: dict[str, int] = field(default_factory=dict)
     lineage: dict[str, Any] = field(default_factory=dict)
     timestamp_ms: int = 0
+    # True when merge-on-read deltas were appended since the last full
+    # resolve: a key may have MULTIPLE stored versions and readers must
+    # reduce by max _lsn (read_state does). Copy-on-write commits and
+    # compaction keep/restore single-version state (False).
+    multi_version: bool = False
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -95,6 +100,7 @@ class Snapshot:
             "committed_epochs": self.committed_epochs,
             "lineage": self.lineage,
             "timestamp_ms": self.timestamp_ms,
+            "multi_version": self.multi_version,
         }
 
     @staticmethod
@@ -109,6 +115,7 @@ class Snapshot:
             committed_epochs=dict(d.get("committed_epochs", {})),
             lineage=d.get("lineage", {}),
             timestamp_ms=d.get("timestamp_ms", 0),
+            multi_version=d.get("multi_version", False),
         )
 
 
@@ -263,7 +270,8 @@ class LakeTable:
                *, stream_id: str | None = None, epoch: int | None = None,
                new_schema: T.StructType | None = None,
                lineage: dict[str, Any] | None = None,
-               expected_version: int | None = None) -> Snapshot:
+               expected_version: int | None = None,
+               multi_version: bool | None = None) -> Snapshot:
         base_version = self.current_version()
         if expected_version is not None and base_version != expected_version:
             raise CommitConflictError(
@@ -283,6 +291,8 @@ class LakeTable:
             committed_epochs=epochs,
             lineage=lineage or {},
             timestamp_ms=int(time.time() * 1000),
+            multi_version=(base.multi_version if multi_version is None
+                           else multi_version),
         )
         self._write_snapshot(snap)
         return snap
@@ -342,18 +352,25 @@ class LakeTable:
         """Maintenance: rewrite every bucket's files into one compacted set,
         optionally dropping tombstones (safe once no event older than the
         table's high-water mark can still arrive — the operator's call).
-        At fleet scale this runs per-bucket incrementally; here it is a
-        whole-table pass. Time travel to pre-compaction snapshots still
-        works (old files stay referenced by old metadata) until
-        ``expire_snapshots`` reclaims them."""
+        On a multi-version table (merge-on-read deltas pending) compaction
+        ALSO resolves last-writer-wins — one max-_lsn reduction per key —
+        and the new snapshot is single-version again, so reads go back to
+        plain scans. At fleet scale this runs per-bucket incrementally;
+        here it is a whole-table pass. Time travel to pre-compaction
+        snapshots still works (old files stay referenced by old metadata)
+        until ``expire_snapshots`` reclaims them."""
         snap = self.current()
         df = self.read()
+        if snap.multi_version:
+            from rockefeller_spark.cdc import dedupe_lww
+            df = dedupe_lww(df, order_col="_lsn")
         if drop_tombstones and "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted"))
         adds = self._stage_write(df, snap.n_buckets, snap.bucket_col, write_salt)
         remove = {f.path for f in snap.files}
         return self.commit(adds, remove, lineage={"op": "compact"},
-                           expected_version=snap.snapshot_id)
+                           expected_version=snap.snapshot_id,
+                           multi_version=False)
 
     def expire_snapshots(self, keep_last: int = 2, *,
                          clean_orphans: bool = True) -> dict[str, Any]:

@@ -69,11 +69,32 @@ def _evolved_schema(table_schema: T.StructType, events: DataFrame) -> T.StructTy
 
 def apply_batch(table: LakeTable, events: DataFrame, *,
                 stream_id: str | None = None, epoch: int | None = None,
-                write_salt: int = 4, collect_metrics: bool = True) -> ApplyResult:
+                write_salt: int = 4, collect_metrics: bool = True,
+                mode: str = "cow") -> ApplyResult:
     """Apply one micro-batch of change events. Idempotent three ways:
     by (stream_id, epoch), by per-row ``_lsn`` LWW, and by exact-duplicate
     LSN collapse — so at-least-once upstream delivery still yields
-    exactly-once table state."""
+    exactly-once table state.
+
+    ``mode`` picks the write strategy (Iceberg's copy-on-write vs
+    merge-on-read trade, re-expressed):
+
+    - ``"cow"`` (default): read the touched buckets, reduce events+target
+      by max ``_lsn`` per key, REWRITE those buckets. Reads stay plain
+      scans; each apply pays O(batch + touched-bucket rows) of rewrite —
+      right for low-cadence batches or read-heavy tables.
+    - ``"mor"``: dedupe the batch and APPEND its winners as delta files
+      into their buckets — no target read, no rewrite; apply cost is
+      O(batch) regardless of table size. The snapshot is marked
+      multi-version and readers (``read_state``) resolve max-``_lsn`` per
+      key until ``table.compact()`` re-resolves — right for high-cadence
+      streaming into a huge table, where per-batch rewrite of every hot
+      bucket is the bottleneck. Replayed non-epoch-gated batches append
+      bit-identical (key, _lsn) duplicates; convergence is unaffected
+      (ties are identical rows) and compaction collapses them.
+    """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown apply mode {mode!r}: use 'cow' or 'mor'")
     if stream_id is not None and epoch is not None and \
             table.epoch_committed(stream_id, epoch):
         return ApplyResult(None, skipped=True)
@@ -103,13 +124,13 @@ def apply_batch(table: LakeTable, events: DataFrame, *,
     if not touched:
         return ApplyResult(None, skipped=True, events_in=0)
 
-    target = table.read(buckets=touched)
-
     # Within-batch LWW dedup and merge-vs-target are the SAME max-_lsn
     # reduction, so they are fused into ONE hash aggregation: project every
     # raw event to the stored-row shape (op='D' → tombstone) and union with
     # the target's stored rows; max_by(_lsn) per key then resolves
-    # event-vs-event and event-vs-target.
+    # event-vs-event and event-vs-target. In MOR mode the target never
+    # joins in — the same aggregation dedupes the batch alone and its
+    # winners append as deltas.
     #
     # The whole apply is ONE shuffle: `_bucket` and `_salt` are
     # deterministic functions of the key, so repartitioning on
@@ -119,7 +140,11 @@ def apply_batch(table: LakeTable, events: DataFrame, *,
     # bucketed write wants. The salt spreads a hot conversation's bucket
     # over `write_salt` reducers/writers (the skew defense).
     stored_src = winners_to_stored(events)
-    merged_in = target.unionByName(stored_src, allowMissingColumns=True)
+    if mode == "mor":
+        merged_in = stored_src
+    else:
+        target = table.read(buckets=touched)
+        merged_in = target.unionByName(stored_src, allowMissingColumns=True)
     rest = [c for c in merged_in.columns
             if c not in S.KEY_COLS and c not in ("_bucket", "_salt")]
     w = F.struct(*[F.col(c) for c in rest])
@@ -160,27 +185,40 @@ def apply_batch(table: LakeTable, events: DataFrame, *,
             pass
     rows_written = sum(b["rows"] for b in per_bucket.values())
     lineage: dict[str, Any] = {
-        "stream_id": stream_id, "epoch": epoch,
+        "stream_id": stream_id, "epoch": epoch, "mode": mode,
         "buckets_touched": sorted(touched),
         "events_in": events_in, "rows_written": rows_written,
         "per_bucket": per_bucket,
     }
-    remove = {f.path for f in snap.files
-              if f.bucket is not None and f.bucket in touched}
+    if mode == "mor":
+        remove: set[str] = set()       # pure append; deltas resolve at read
+        multi_version = True
+    else:
+        remove = {f.path for f in snap.files
+                  if f.bucket is not None and f.bucket in touched}
+        multi_version = None           # inherit (a CoW apply resolves only
+                                       # the buckets it touched)
     new_snap = table.commit(adds, remove, stream_id=stream_id, epoch=epoch,
                             new_schema=new_schema, lineage=lineage,
-                            expected_version=snap.snapshot_id)
+                            expected_version=snap.snapshot_id,
+                            multi_version=multi_version)
     return ApplyResult(new_snap, events_in=events_in, winners=None,
                        buckets_touched=sorted(touched), rows_written=rows_written)
 
 
 def read_state(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
-    """The visible table: stored rows minus tombstones minus engine columns."""
+    """The visible table: stored rows minus tombstones minus engine columns.
+    On a multi-version snapshot (merge-on-read deltas pending compaction)
+    the read resolves last-writer-wins first — one map-side-combined
+    max-``_lsn`` hash aggregation per key, the same skew-immune reduction
+    the apply path uses; single-version snapshots read as plain scans."""
     snap = table.snapshot(snapshot_id) if snapshot_id is not None else table.current()
     user_cols = [f.name for f in snap.schema.fields if f.name not in S.META_COLS]
-    return (table.read(snapshot_id)
-            .filter(~F.col("_deleted"))
-            .select(*user_cols))
+    df = table.read(snapshot_id)
+    if snap.multi_version:
+        from rockefeller_spark.cdc import dedupe_lww
+        df = dedupe_lww(df, order_col="_lsn")
+    return df.filter(~F.col("_deleted")).select(*user_cols)
 
 
 def bootstrap(table: LakeTable, base: DataFrame, *, write_salt: int = 4) -> Snapshot:

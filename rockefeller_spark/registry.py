@@ -112,6 +112,26 @@ def q_cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_state(table)
 
 
+_MOR_SCRATCH = os.path.join(tempfile.gettempdir(), "rk-mor-scratch")
+atexit.register(shutil.rmtree, _MOR_SCRATCH, True)
+
+
+def q_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship path in merge-on-read mode: the SAME change stream
+    lands as three out-of-order delta appends (no target read, no bucket
+    rewrite — O(batch) apply), and the read-time LWW resolution must
+    produce the identical visible state the copy-on-write flagship and
+    the window-SQL oracle produce."""
+    ev = events_as_changes(_t(spark, sf_dir, "events"))
+    shutil.rmtree(_MOR_SCRATCH, ignore_errors=True)
+    table = LakeTable.create(spark, os.path.join(_MOR_SCRATCH, "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=16)
+    for i, k in enumerate([2, 0, 1]):      # deliberately out of LSN order
+        apply_batch(table, ev.filter(F.pmod(F.col("lsn"), F.lit(3)) == k),
+                    stream_id="registry-mor", epoch=i, mode="mor")
+    return read_state(table)
+
+
 SQL_CDC_APPLY_FULL = """
 WITH ch AS (
   SELECT event_id AS lsn,
@@ -1066,6 +1086,7 @@ FROM t GROUP BY kind, codec
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CDC core
     "cdc_apply_full": q_cdc_apply_full,
+    "cdc_apply_mor": q_cdc_apply_mor,
     "cdc_lww_latest": q_cdc_lww_latest,
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_high_water_marks": q_cdc_high_water_marks,
@@ -1109,6 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "cdc_apply_full": SQL_CDC_APPLY_FULL,
+    "cdc_apply_mor": SQL_CDC_APPLY_FULL,
     "cdc_lww_latest": SQL_CDC_LWW,
     "cdc_lww_salted": SQL_CDC_LWW,
     "cdc_high_water_marks": SQL_CDC_HWM,

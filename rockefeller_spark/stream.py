@@ -55,6 +55,7 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
                watermark: str = "1 hour",
                available_now: bool = False,
                write_salt: int = 4,
+               mode: str = "cow",
                dedup_in_stream: bool = False,
                metrics: MetricsLog | None = None,
                quarantine_dir: str | None = None,
@@ -100,7 +101,7 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
             .write.mode("overwrite")
             .parquet(os.path.join(qdir, f"{sid}-{batch_id:08d}")))
         res = apply_batch(table, good, stream_id=sid, epoch=batch_id,
-                          write_salt=write_salt)
+                          write_salt=write_salt, mode=mode)
         if metrics is not None:
             metrics.record(res, stream_id=sid, epoch=batch_id)
 
