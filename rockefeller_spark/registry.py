@@ -548,6 +548,56 @@ FROM events WHERE user_id < 5
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union + one window carry-forward, one shuffle):
+    every event gets the value of the user's most recent purchase at or
+    before it. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from rockefeller_spark.joins import asof_join
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("user_id", "event_id", "ts")
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "value"))
+    out = asof_join(left, right, on=["user_id"], value_cols=["value"])
+    return out.select("user_id", "event_id",
+                      F.col("value_asof").alias("last_purchase_value"))
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT user_id, ts, MAX(value) AS value
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT e.user_id, e.event_id, p.value AS last_purchase_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join via bucketing (equi join on (key, bucket±1), exact
+    predicate inside — constant 3x replication instead of a non-equi
+    blowup): for each purchase, how many events of the same user fall
+    within ±30 minutes. Timestamps truncate to whole seconds on both
+    engines so the boundary predicate agrees bit-for-bit."""
+    from rockefeller_spark.joins import time_range_join
+    ev = _t(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("purchase_id"), "ts"))
+    right = ev.select("user_id", "ts", "event_id")
+    out = time_range_join(left, right, on=["user_id"], window_sec=1800)
+    return (out.groupBy("purchase_id")
+            .agg(F.count(F.lit(1)).alias("n_nearby")))
+
+
+SQL_RANGE_JOIN = """
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_nearby
+FROM events p JOIN events e
+  ON p.user_id = e.user_id
+ AND abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+         - CAST(floor(epoch(p.ts)) AS BIGINT)) <= 1800
+WHERE p.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops: two overlapping slices, unionByName + distinct (the
     reference's retry-list extend, /root/reference/scripts/collector.py:199-201)."""
@@ -1109,6 +1159,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": q_pivot_event_counts,
     "scalar_functions": q_scalar_functions,
     "union_dedup": q_union_dedup,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     # text pipeline
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_tokens": q_doc_tokens,
@@ -1152,6 +1204,8 @@ ORACLES: dict[str, str] = {
     "pivot_event_counts": SQL_PIVOT_COUNTS,
     "scalar_functions": SQL_SCALAR_FUNCTIONS,
     "union_dedup": SQL_UNION_DEDUP,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_tokens": SQL_DOC_TOKENS,
     "doc_lang_id": SQL_DOC_LANG_ID,
