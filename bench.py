@@ -102,6 +102,50 @@ def bench_cdc_apply(spark, n_events: int, n_batches: int,
     return out
 
 
+def bench_trickle(spark, base_events: int = 10_000_000,
+                  n_trickle: int = 8, batch_events: int = 50_000,
+                  n_buckets: int = 256) -> dict:
+    """The scenario MOR exists for: a stream of SMALL batches against a
+    big table. CoW pays a read+rewrite of every touched bucket per batch
+    (Zipf keys touch most buckets, so cost ~ O(table) each time); MOR
+    appends O(batch) deltas. Reports both modes' wall for the same
+    ``n_trickle`` × ``batch_events`` trickle after the same base load."""
+    work = tempfile.mkdtemp(prefix="rk-trickle-")
+    total = base_events + n_trickle * batch_events
+    ev = gen.gen_change_events(spark, n_events=total,
+                               n_convs=max(1000, base_events // 200),
+                               max_turns=50, seed=43, num_partitions=32)
+    ev.write.mode("overwrite").parquet(os.path.join(work, "events"))
+    log = spark.read.parquet(os.path.join(work, "events"))
+    # pre-split each trickle batch into its own WAL segment (as a real
+    # stream source delivers them) so the timed window measures apply, not
+    # re-scanning the whole log to carve out 50k rows per batch
+    for b in range(n_trickle):
+        lo = base_events + b * batch_events
+        (log.filter((log.lsn >= lo) & (log.lsn < lo + batch_events))
+            .coalesce(4).write.mode("overwrite")
+            .parquet(os.path.join(work, f"seg-{b}")))
+
+    out: dict = {"base_events": base_events, "n_trickle": n_trickle,
+                 "batch_events": batch_events}
+    for mode in ("cow", "mor"):
+        tdir = os.path.join(work, f"t-{mode}")
+        table = LakeTable.create(spark, tdir, STORED_TRANSCRIPT_SCHEMA,
+                                 n_buckets=n_buckets)
+        apply_batch(table, log.filter(log.lsn < base_events),
+                    collect_metrics=False)          # base load, untimed
+        t0 = time.time()
+        for b in range(n_trickle):
+            batch = spark.read.parquet(os.path.join(work, f"seg-{b}"))
+            apply_batch(table, batch, collect_metrics=False, mode=mode)
+        out[f"{mode}_trickle_sec"] = round(time.time() - t0, 3)
+        shutil.rmtree(tdir, ignore_errors=True)
+    out["mor_speedup"] = round(out["cow_trickle_sec"]
+                               / max(out["mor_trickle_sec"], 1e-9), 2)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -139,10 +183,12 @@ def main() -> None:
     cdc = bench_cdc_apply(spark, n_events, n_batches, n_buckets=n_buckets,
                           repeats=repeats)
     cdc_mor = None
+    trickle = None
     if with_mor:
         cdc_mor = bench_cdc_apply(spark, n_events, n_batches,
                                   n_buckets=n_buckets, repeats=repeats,
                                   mode="mor")
+        trickle = bench_trickle(spark, n_buckets=n_buckets)
 
     queries: dict[str, float] = {"cdc_apply_stream": cdc["apply_sec"]}
     if cdc_mor is not None:
@@ -164,6 +210,7 @@ def main() -> None:
         "cpus": cpus,
         "cdc": cdc,
         "cdc_mor": cdc_mor,
+        "cdc_trickle": trickle,
     }
     spark.stop()
     print(json.dumps(out))

@@ -37,6 +37,7 @@ import os
 import shutil
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -209,59 +210,87 @@ class LakeTable:
 
     # ------------------------------------------------------------- data files
     def _stage_write(self, df: DataFrame, n_buckets: int, bucket_col: str,
-                     write_salt: int = 0, pre_bucketed: bool = False) -> list[DataFile]:
-        """Write ``df`` as bucket-partitioned Parquet under data/ and return
-        the new DataFile entries (stats from Parquet footers, as Iceberg
-        collects them at commit).
+                     write_salt: int = 0, pre_bucketed: bool = False,
+                     span_buckets: bool = False) -> list[DataFile]:
+        """Write ``df`` as Parquet under data/ and return the new DataFile
+        entries (stats from Parquet footers, as Iceberg collects them at
+        commit).
 
-        ``pre_bucketed=True``: ``df`` already carries a ``_bucket`` column
-        and is already partitioned the way the writer wants (the fused
-        single-shuffle apply path) — no extra repartition happens here.
-        Otherwise ``write_salt`` > 0 spreads each bucket over
-        ``write_salt`` write tasks — the salted repartitioning that defuses
-        a hot conversation monopolizing one writer at 10^10 events.
+        Layouts:
+        - default / ``pre_bucketed``: one file per (task, bucket) via
+          ``partitionBy("_bucket")`` — every file pinned to one key bucket
+          (prunable). ``pre_bucketed=True`` means ``df`` already carries
+          ``_bucket`` and its partitioning (the fused single-shuffle apply
+          path); otherwise ``write_salt`` > 0 spreads each bucket over
+          ``write_salt`` write tasks (hot-conversation defense).
+        - ``span_buckets=True``: UNPARTITIONED files spanning buckets
+          (``DataFile.bucket=None``) — the merge-on-read delta layout
+          (Hudi log-file analog). A small delta batch writes a handful of
+          files instead of ≥n_buckets tiny ones; bucket pruning skips
+          nothing for these files until compaction re-buckets them, which
+          is the MOR trade (reads pay until compact).
         """
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
-        if pre_bucketed:
-            out = df
-        else:
-            out = df.withColumn("_bucket", bucket_expr(bucket_col, n_buckets))
-            if write_salt > 1:
-                salt = F.pmod(F.xxhash64(F.col("turn_idx") if "turn_idx" in df.columns
-                                         else F.rand()), F.lit(write_salt))
-                out = out.repartition(F.col("_bucket"), salt)
-            else:
-                out = out.repartition(F.col("_bucket"))
-        out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
-        files: list[DataFile] = []
-        for dirname in sorted(os.listdir(stage)):
-            if not dirname.startswith("_bucket="):
-                continue
-            bucket = int(dirname.split("=", 1)[1])
-            bdir = os.path.join(stage, dirname)
-            for fname in sorted(os.listdir(bdir)):
+        moves: list[tuple[int | None, str]] = []   # (bucket, dst path)
+        if span_buckets:
+            df.write.mode("overwrite").parquet(stage)
+            for fname in sorted(os.listdir(stage)):
                 if not fname.endswith(".parquet"):
                     continue
-                new_name = f"{uuid.uuid4().hex}-b{bucket:05d}.parquet"
+                new_name = f"{uuid.uuid4().hex}-delta.parquet"
                 dst = os.path.join(self.data_dir, new_name)
-                shutil.move(os.path.join(bdir, fname), dst)
-                meta = pq.ParquetFile(dst).metadata
-                min_lsn = max_lsn = None
-                try:
-                    idx = [meta.schema.column(i).name
-                           for i in range(meta.num_columns)].index("_lsn")
-                    mins, maxs = [], []
-                    for rg in range(meta.num_row_groups):
-                        st = meta.row_group(rg).column(idx).statistics
-                        if st is not None and st.has_min_max:
-                            mins.append(st.min)
-                            maxs.append(st.max)
-                    if mins:
-                        min_lsn, max_lsn = int(min(mins)), int(max(maxs))
-                except ValueError:
-                    pass
-                files.append(DataFile(os.path.join("data", new_name), bucket,
-                                      meta.num_rows, min_lsn, max_lsn))
+                shutil.move(os.path.join(stage, fname), dst)
+                moves.append((None, dst))
+        else:
+            if pre_bucketed:
+                out = df
+            else:
+                out = df.withColumn("_bucket", bucket_expr(bucket_col, n_buckets))
+                if write_salt > 1:
+                    salt = F.pmod(F.xxhash64(F.col("turn_idx") if "turn_idx" in df.columns
+                                             else F.rand()), F.lit(write_salt))
+                    out = out.repartition(F.col("_bucket"), salt)
+                else:
+                    out = out.repartition(F.col("_bucket"))
+            out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+            for dirname in sorted(os.listdir(stage)):
+                if not dirname.startswith("_bucket="):
+                    continue
+                bucket = int(dirname.split("=", 1)[1])
+                bdir = os.path.join(stage, dirname)
+                for fname in sorted(os.listdir(bdir)):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    new_name = f"{uuid.uuid4().hex}-b{bucket:05d}.parquet"
+                    dst = os.path.join(self.data_dir, new_name)
+                    shutil.move(os.path.join(bdir, fname), dst)
+                    moves.append((bucket, dst))
+
+        def stat_one(item: tuple[int | None, str]) -> DataFile:
+            bucket, dst = item
+            meta = pq.ParquetFile(dst).metadata
+            min_lsn = max_lsn = None
+            try:
+                idx = [meta.schema.column(i).name
+                       for i in range(meta.num_columns)].index("_lsn")
+                mins, maxs = [], []
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                if mins:
+                    min_lsn, max_lsn = int(min(mins)), int(max(maxs))
+            except ValueError:
+                pass
+            return DataFile(os.path.join("data", os.path.basename(dst)),
+                            bucket, meta.num_rows, min_lsn, max_lsn)
+
+        # footer stats are tiny independent I/O reads; done serially they
+        # dominate small-batch commits (≤n_buckets files × ~20 ms each),
+        # so fan them out on a thread pool — order preserved by map
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            files = list(pool.map(stat_one, moves))
         shutil.rmtree(stage)
         return files
 
@@ -337,11 +366,14 @@ class LakeTable:
         """Snapshot-pinned read. Old files lacking newer (evolved) columns
         are null-filled because the read uses the snapshot's full schema.
         ``buckets`` prunes to the named key buckets via file stats — no
-        scan of untouched files ever happens."""
+        scan of untouched BUCKETED files ever happens; bucket-spanning
+        merge-on-read delta files (bucket=None) are always included, since
+        they may hold rows of any bucket — compaction re-buckets them and
+        restores full pruning."""
         snap = self.snapshot(snapshot_id) if snapshot_id is not None else self.current()
         files = snap.files
         if buckets is not None:
-            files = [f for f in files if f.bucket in buckets]
+            files = [f for f in files if f.bucket is None or f.bucket in buckets]
         if not files:
             return self.spark.createDataFrame([], snap.schema)
         paths = [os.path.join(self.path, f.path) for f in files]
@@ -442,7 +474,10 @@ class LakeTable:
     def applied_lsns(self) -> DataFrame:
         """Dedup-state view (FIXTURES.md §4): per-bucket high-water mark of
         applied LSNs, derived from file stats — the engine's durable
-        ``applied_lsns(part_key, max_lsn, epoch)`` table."""
+        ``applied_lsns(part_key, max_lsn, epoch)`` table. Bucket-spanning
+        MOR delta files are excluded, so the marks are a LOWER bound while
+        deltas are pending — safe for the prefilter (it only ever drops
+        events at or below a mark; a lower bound drops fewer)."""
         snap = self.current()
         hwm: dict[int, int] = {}
         for f in snap.files:

@@ -83,15 +83,17 @@ def apply_batch(table: LakeTable, events: DataFrame, *,
       by max ``_lsn`` per key, REWRITE those buckets. Reads stay plain
       scans; each apply pays O(batch + touched-bucket rows) of rewrite —
       right for low-cadence batches or read-heavy tables.
-    - ``"mor"``: dedupe the batch and APPEND its winners as delta files
-      into their buckets — no target read, no rewrite; apply cost is
-      O(batch) regardless of table size. The snapshot is marked
-      multi-version and readers (``read_state``) resolve max-``_lsn`` per
-      key until ``table.compact()`` re-resolves — right for high-cadence
-      streaming into a huge table, where per-batch rewrite of every hot
-      bucket is the bottleneck. Replayed non-epoch-gated batches append
-      bit-identical (key, _lsn) duplicates; convergence is unaffected
-      (ties are identical rows) and compaction collapses them.
+    - ``"mor"``: dedupe the batch and APPEND its winners as bucket-
+      SPANNING delta files (Hudi log-file analog: a small batch writes a
+      handful of files, not ≥n_buckets tiny ones) — no target read, no
+      rewrite; apply cost is O(batch) regardless of table size. The
+      snapshot is marked multi-version: readers (``read_state``) resolve
+      max-``_lsn`` per key, and bucket pruning can't skip the delta files,
+      until ``table.compact()`` re-resolves and re-buckets — right for
+      high-cadence streaming into a huge table, where per-batch rewrite of
+      every hot bucket is the bottleneck. Replayed non-epoch-gated batches
+      append bit-identical (key, _lsn) duplicates; convergence is
+      unaffected (ties are identical rows) and compaction collapses them.
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown apply mode {mode!r}: use 'cow' or 'mor'")
@@ -141,32 +143,43 @@ def apply_batch(table: LakeTable, events: DataFrame, *,
     # over `write_salt` reducers/writers (the skew defense).
     stored_src = winners_to_stored(events)
     if mode == "mor":
-        merged_in = stored_src
+        # MOR: dedupe the batch alone (one AQE-sized shuffle on the key)
+        # and write it as bucket-SPANNING delta files — a 50k-event batch
+        # lands as a handful of files, not ≥n_buckets tiny ones (Hudi
+        # log-file analog); compaction re-buckets and restores pruning.
+        from rockefeller_spark.cdc import dedupe_lww
+        merged = dedupe_lww(stored_src, order_col="_lsn")
     else:
         target = table.read(buckets=touched)
         merged_in = target.unionByName(stored_src, allowMissingColumns=True)
-    rest = [c for c in merged_in.columns
-            if c not in S.KEY_COLS and c not in ("_bucket", "_salt")]
-    w = F.struct(*[F.col(c) for c in rest])
-    salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(max(write_salt, 1)))
-    npart = int(table.spark.conf.get("spark.sql.shuffle.partitions"))
-    merged = (merged_in
-              .withColumn("_bucket", bucket_expr(snap.bucket_col, snap.n_buckets))
-              .withColumn("_salt", salt)
-              .repartition(npart, F.col("_bucket"), F.col("_salt"))
-              .groupBy("_bucket", "_salt", *S.KEY_COLS)
-              .agg(F.max_by(w, F.col("_lsn")).alias("_w"))
-              .select("_bucket", *S.KEY_COLS,
-                      *[F.col(f"_w.{c}").alias(c) for c in rest]))
+        rest = [c for c in merged_in.columns
+                if c not in S.KEY_COLS and c not in ("_bucket", "_salt")]
+        w = F.struct(*[F.col(c) for c in rest])
+        salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(max(write_salt, 1)))
+        # repartition WITHOUT a pinned partition count: a pinned N blocks
+        # AQE from coalescing, so a small batch would pay the same N-task
+        # scheduling overhead as a 50M-event one. With the count left to
+        # AQE, small batches collapse to a few tasks and big batches still
+        # spread over spark.sql.shuffle.partitions.
+        merged = (merged_in
+                  .withColumn("_bucket", bucket_expr(snap.bucket_col, snap.n_buckets))
+                  .withColumn("_salt", salt)
+                  .repartition(F.col("_bucket"), F.col("_salt"))
+                  .groupBy("_bucket", "_salt", *S.KEY_COLS)
+                  .agg(F.max_by(w, F.col("_lsn")).alias("_w"))
+                  .select("_bucket", *S.KEY_COLS,
+                          *[F.col(f"_w.{c}").alias(c) for c in rest]))
 
     # Stage the data files FIRST (expensive, crash-safe: uncommitted files
     # are ignorable orphans), derive per-bucket lineage from their footer
     # stats (no extra job), then commit everything in one atomic snapshot.
     adds = table._stage_write(merged, snap.n_buckets, snap.bucket_col,
-                              pre_bucketed=True)
-    bad = {f.bucket for f in adds} - touched
-    if bad:
-        raise ValueError(f"merge produced rows in untouched buckets {sorted(bad)}")
+                              pre_bucketed=True, span_buckets=(mode == "mor"))
+    if mode != "mor":
+        bad = {f.bucket for f in adds} - touched
+        if bad:
+            raise ValueError(
+                f"merge produced rows in untouched buckets {sorted(bad)}")
     per_bucket: dict[str, dict[str, Any]] = {}
     for f in adds:
         b = per_bucket.setdefault(str(f.bucket), {"rows": 0, "files": 0,

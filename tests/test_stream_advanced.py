@@ -157,3 +157,22 @@ def test_stream_routes_bad_rows_to_quarantine(spark, tmp_path):
         corrupted.filter(F.col("lsn") % 17 != 0).toPandas()))
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
+
+
+def test_stream_csv_and_json_sources(spark, tmp_path):
+    """The WAL tail is source-format agnostic: the same drain works over
+    CSV and JSON-lines segment files (swap for 'kafka' on a cluster)."""
+    ev = gen.gen_change_events(spark, n_events=600, n_convs=8, seed=97)
+    want = _canon(replay(ev.toPandas()))
+    for fmt, opts in [("csv", {"header": "true"}), ("json", {})]:
+        src = str(tmp_path / f"wal_{fmt}")
+        (ev.coalesce(2).write.mode("overwrite")
+           .options(**({"header": True} if fmt == "csv" else {}))
+           .format(fmt).save(src))
+        table = LakeTable.create(spark, str(tmp_path / f"t_{fmt}"),
+                                 STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+        drain(spark, src, table, str(tmp_path / f"ck_{fmt}"),
+              source_format=fmt, options=opts)
+        got = _canon(read_state(table).toPandas())
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                      check_dtype=False)
