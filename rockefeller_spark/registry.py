@@ -1101,6 +1101,42 @@ FROM r
 """
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the REAL Arrow mapInPandas pipeline —
+    the payload bytes cross into Python, get sliced per frame index, and
+    come back as binary. Value-checked end-to-end: the oracle rebuilds the
+    md5-keystream payload from range(n) and compares per-frame md5 + size,
+    so a wrong slice boundary or batch handling bug fails the hash."""
+    from rockefeller_spark import multimodal as M
+    media = M.gen_media(spark, n=200, seed=7)
+    frames = M.sample_frames(media, every_ms=10_000)
+    return frames.select("media_id", "frame_idx",
+                         F.md5("frame").alias("frame_md5"),
+                         F.octet_length("frame").alias("frame_bytes"))
+
+
+SQL_MEDIA_FRAMES = f"""
+WITH r AS (SELECT range AS media_id FROM range(200)),
+v AS (
+  SELECT media_id,
+         substr(repeat(md5(CAST(media_id AS VARCHAR)), 512), 1,
+                CAST(({_media_h_sql(1)} % 8 + 1) * 1024 AS INTEGER)) AS payload,
+         greatest(CAST(({_media_h_sql(4)} % 120000 + 500) AS BIGINT) // 10000,
+                  1) AS n_frames
+  FROM r
+  WHERE {_media_h_sql(0)} % 3 = 2),
+f AS (
+  SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+         substr(payload,
+                CAST(i * greatest(len(payload) // n_frames, 1) AS INTEGER) + 1,
+                64) AS frame
+  FROM v, UNNEST(range(0, n_frames)) AS u(i))
+SELECT media_id, frame_idx, md5(frame) AS frame_md5,
+       CAST(len(frame) AS INTEGER) AS frame_bytes
+FROM f
+"""
+
+
 def q_media_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rockefeller_spark import multimodal as M
     return M.media_summary(M.gen_media(spark, n=500, seed=7))
@@ -1177,6 +1213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_near_dup": q_emb_near_dup,
     # multimodal (stubbed decode; plumbing real)
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "media_rollup": q_media_rollup,
 }
 
@@ -1219,5 +1256,6 @@ ORACLES: dict[str, str] = {
     "emb_lsh_topk": SQL_EMB_LSH_TOPK,
     "emb_near_dup": SQL_EMB_NEAR_DUP,
     "media_features": SQL_MEDIA_FEATURES,
+    "media_frames": SQL_MEDIA_FRAMES,
     "media_rollup": SQL_MEDIA_ROLLUP,
 }
