@@ -380,29 +380,56 @@ class LakeTable:
         return self.spark.read.schema(snap.schema).parquet(*paths)
 
     def compact(self, *, drop_tombstones: bool = True,
-                write_salt: int = 0) -> Snapshot:
-        """Maintenance: rewrite every bucket's files into one compacted set,
-        optionally dropping tombstones (safe once no event older than the
-        table's high-water mark can still arrive — the operator's call).
-        On a multi-version table (merge-on-read deltas pending) compaction
-        ALSO resolves last-writer-wins — one max-_lsn reduction per key —
-        and the new snapshot is single-version again, so reads go back to
-        plain scans. At fleet scale this runs per-bucket incrementally;
-        here it is a whole-table pass. Time travel to pre-compaction
-        snapshots still works (old files stay referenced by old metadata)
-        until ``expire_snapshots`` reclaims them."""
+                write_salt: int = 0,
+                buckets: set[int] | None = None) -> Snapshot:
+        """Maintenance: rewrite files into a compacted set, optionally
+        dropping tombstones (safe once no event older than the table's
+        high-water mark can still arrive — the operator's call).
+
+        ``buckets=None`` compacts the whole table. On a multi-version
+        table (merge-on-read deltas pending) the full pass ALSO resolves
+        last-writer-wins — one max-_lsn reduction per key — and the new
+        snapshot is single-version again, so reads go back to plain scans.
+
+        ``buckets={...}`` compacts ONLY those buckets' files — the
+        incremental shape a fleet runs continuously (compact the K buckets
+        with the most file fragments each cycle, never a full pass). It
+        requires a single-version table: bucket-spanning MOR delta files
+        hold rows of every bucket and can't be rewritten bucket-wise —
+        run a full ``compact()`` first to fold them in.
+
+        Time travel to pre-compaction snapshots still works (old files
+        stay referenced by old metadata) until ``expire_snapshots``
+        reclaims them."""
         snap = self.current()
-        df = self.read()
+        if buckets is not None and snap.multi_version:
+            raise ValueError(
+                "bucket-scoped compaction requires a single-version table "
+                "(pending merge-on-read deltas span buckets); run a full "
+                "compact() first")
+        df = self.read(buckets=buckets)
         if snap.multi_version:
             from rockefeller_spark.cdc import dedupe_lww
             df = dedupe_lww(df, order_col="_lsn")
         if drop_tombstones and "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted"))
         adds = self._stage_write(df, snap.n_buckets, snap.bucket_col, write_salt)
-        remove = {f.path for f in snap.files}
-        return self.commit(adds, remove, lineage={"op": "compact"},
+        if buckets is None:
+            remove = {f.path for f in snap.files}
+        else:
+            bad = {f.bucket for f in adds} - buckets
+            if bad:
+                raise ValueError(
+                    f"compaction produced rows outside the requested "
+                    f"buckets {sorted(bad)}")
+            remove = {f.path for f in snap.files
+                      if f.bucket is not None and f.bucket in buckets}
+        return self.commit(adds, remove,
+                           lineage={"op": "compact",
+                                    "buckets": (sorted(buckets)
+                                                if buckets else "all")},
                            expected_version=snap.snapshot_id,
-                           multi_version=False)
+                           multi_version=False if buckets is None else None)
 
     def expire_snapshots(self, keep_last: int = 2, *,
                          clean_orphans: bool = True) -> dict[str, Any]:

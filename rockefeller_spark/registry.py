@@ -491,6 +491,27 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) — all four grouping sets, completing
+    the rollup/pivot family."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("o_totalprice").alias("total"))
+            .select(F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    "n", "total"))
+
+
+SQL_CUBE_ORDERS = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable pivot via conditional aggregation (identical SQL shape)."""
     ev = _t(spark, sf_dir, "events")
@@ -1192,6 +1213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_fanout": q_scd_fanout,
     "collect_event_types": q_collect_event_types,
     "rollup_orders": q_rollup_orders,
+    "cube_orders": q_cube_orders,
     "pivot_event_counts": q_pivot_event_counts,
     "scalar_functions": q_scalar_functions,
     "union_dedup": q_union_dedup,
@@ -1238,6 +1260,7 @@ ORACLES: dict[str, str] = {
     "scd_fanout": SQL_SCD_FANOUT,
     "collect_event_types": SQL_COLLECT_TYPES,
     "rollup_orders": SQL_ROLLUP_ORDERS,
+    "cube_orders": SQL_CUBE_ORDERS,
     "pivot_event_counts": SQL_PIVOT_COUNTS,
     "scalar_functions": SQL_SCALAR_FUNCTIONS,
     "union_dedup": SQL_UNION_DEDUP,

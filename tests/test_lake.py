@@ -202,3 +202,42 @@ def test_requeue_unrepaired_rows_stay_quarantined(spark, table):
     assert still_bad.count() == n_bad                 # nothing fixed
     assert res.skipped                                # nothing to apply
     assert read_state(table).count() == 0
+
+
+def test_incremental_bucket_compaction(spark, table):
+    """Bucket-scoped compact rewrites only the requested buckets' files;
+    everything else is byte-identical, and the visible state is unchanged."""
+    # fragment every bucket: three appends of DISJOINT conv ranges (append
+    # adds files without replacing, unlike the CoW apply)
+    all_convs = gen.gen_transcripts(spark, n_convs=24, seed=1)
+    for lo, hi in [(0, 8), (8, 16), (16, 24)]:
+        ids = [f"c{i:08d}" for i in range(lo, hi)]
+        bootstrap(table, all_convs.filter(F.col("conv_id").isin(ids)))
+    before = read_state(table).toPandas()
+    files_before = {f.path: f for f in table.current().files}
+    target = {0, 1}
+    n_target_before = sum(1 for f in files_before.values() if f.bucket in target)
+    assert n_target_before > 2                     # fragments to merge
+
+    table.compact(buckets=target)
+    snap = table.current()
+    assert snap.lineage == {"op": "compact", "buckets": [0, 1]}
+    n_target_after = sum(1 for f in snap.files if f.bucket in target)
+    assert n_target_after < n_target_before
+    # untouched buckets carry over byte-identical
+    untouched_before = {p for p, f in files_before.items()
+                        if f.bucket not in target}
+    untouched_after = {f.path for f in snap.files if f.bucket not in target}
+    assert untouched_before == untouched_after
+    after = read_state(table).toPandas()
+    assert after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True) \
+        .equals(before.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+
+def test_bucket_compaction_refuses_multiversion(spark, table):
+    ev = gen.gen_change_events(spark, n_events=200, n_convs=5, seed=103)
+    apply_batch(table, ev, mode="mor")
+    with pytest.raises(ValueError, match="single-version"):
+        table.compact(buckets={0})
+    table.compact()                                # full pass folds deltas in
+    table.compact(buckets={0})                     # now allowed
