@@ -431,6 +431,19 @@ class LakeTable:
                            expected_version=snap.snapshot_id,
                            multi_version=False if buckets is None else None)
 
+    def lookup(self, key_value: str) -> DataFrame:
+        """Point lookup: hash the key to its bucket driver-side, read ONLY
+        that bucket's files (plus any pending bucket-spanning MOR deltas),
+        and filter — at 10^10 rows a lookup touches 1/n_buckets of the
+        table, not a full scan. The residual filter also reaches the
+        parquet scan (PushedFilters), pruning row groups inside the
+        bucket's files."""
+        snap = self.current()
+        b = self.spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(key_value)), F.lit(snap.n_buckets))
+            .cast("int").alias("b")).collect()[0]["b"]
+        return self.read(buckets={b}).filter(F.col(snap.bucket_col) == key_value)
+
     def expire_snapshots(self, keep_last: int = 2, *,
                          clean_orphans: bool = True) -> dict[str, Any]:
         """Maintenance: expire old snapshots and physically delete data

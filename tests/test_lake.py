@@ -241,3 +241,19 @@ def test_bucket_compaction_refuses_multiversion(spark, table):
         table.compact(buckets={0})
     table.compact()                                # full pass folds deltas in
     table.compact(buckets={0})                     # now allowed
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, table):
+    ev = gen.gen_change_events(spark, n_events=2000, n_convs=20, seed=109)
+    apply_batch(table, ev)
+    key = "c00000003"
+    got = table.lookup(key).toPandas()
+    want = table.read().filter(F.col("conv_id") == key).toPandas()
+    assert sorted(got.turn_idx) == sorted(want.turn_idx) and len(got) > 0
+    # the lookup plan reads only the key's bucket's files
+    n_read = len(table.lookup(key).inputFiles())
+    n_total = len(table.current().files)
+    n_bucket_files = max(sum(1 for f in table.current().files
+                             if f.bucket == b) for b in range(4))
+    assert n_read < n_total
+    assert n_read <= n_bucket_files + 1

@@ -93,3 +93,17 @@ def test_mixed_cow_and_mor_converge(spark, table):
     want = _canon(replay(pdf, base=base.toPandas()))
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
+
+
+def test_streaming_mor_drain_equals_oracle(spark, table, tmp_path):
+    """The wired streaming path in MOR mode: drain a WAL, deltas append,
+    read-time resolution matches the oracle."""
+    from rockefeller_spark.stream import drain
+    src = str(tmp_path / "wal")
+    ev = gen.gen_change_events(spark, n_events=1000, n_convs=10, seed=107,
+                               num_partitions=4)
+    ev.write.mode("overwrite").parquet(src)
+    drain(spark, src, table, str(tmp_path / "ck"), mode="mor",
+          max_files_per_trigger=2)
+    assert table.current().multi_version
+    _check(table, ev.toPandas())
