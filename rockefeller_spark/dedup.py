@@ -210,6 +210,50 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "est_jaccard"))
 
 
+# ------------------------------------------------------------- clustering
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → one cluster id per
+    document (the min doc id of its component; singletons cluster to
+    themselves). This is the step that turns pairwise dedup output into
+    keep/drop decisions: keep ``id == cluster_id``, drop the rest.
+
+    Iterative min-label propagation — the canonical Spark shape for an
+    algorithm SQL can't express in one pass: per round, every node takes
+    the min of its own label and its neighbors' labels (one equi-join +
+    one hash aggregation, both AQE-sized); rounds repeat until a fixpoint
+    (≤ graph diameter, typically 2-4 for dedup clusters — near-dup
+    components are dense). Labels persist between rounds; the driver only
+    ever collects a 1-row convergence flag, never data."""
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    half = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = (half.unionByName(half.select(F.col("b").alias("a"),
+                                          F.col("a").alias("b")))
+             .distinct().persist())
+    labels = ids.select("id", F.col("id").alias("label")).persist()
+    for _ in range(max_iter):
+        nbr = (labels.join(edges, labels.id == edges.a)
+               .groupBy("b").agg(F.min("label").alias("nl"))
+               .withColumnRenamed("b", "id"))
+        new_labels = (labels.join(nbr, "id", "left")
+                      .select("id", F.least(F.col("label"),
+                                            F.coalesce("nl", "label"))
+                              .alias("label"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash60(df: DataFrame, text_col: str = "text",

@@ -781,6 +781,49 @@ WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
 """
 
 
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: pairwise Jaccard hits grouped into connected
+    components by iterative min-label propagation (the keep/drop decision
+    layer on top of pairwise dedup). Oracle: the same pairs closed under
+    a recursive transitive-closure CTE."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return D.dedup_clusters(docs, pairs)
+
+
+SQL_DOC_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+toksj AS (
+  SELECT doc_id, regexp_split_to_array({_CANON_SQL}, ' ') AS t FROM documents),
+shj AS (
+  SELECT DISTINCT doc_id,
+         md5(CASE WHEN len(t) >= 3
+                  THEN array_to_string(t[i:i+2], ' ')
+                  ELSE array_to_string(t, ' ') END) AS h
+  FROM toksj,
+       UNNEST(range(1, CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 2 END)) AS u(i)),
+sizesj AS (SELECT doc_id, COUNT(*) AS n FROM shj GROUP BY doc_id),
+commonj AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM shj a JOIN shj b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM commonj JOIN sizesj na ON na.doc_id = id_a
+               JOIN sizesj nb ON nb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+seed AS (SELECT doc_id AS a, doc_id AS b FROM documents
+         UNION SELECT a, b FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM seed
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH in portable-hash mode: the DuckDB oracle reproduces the
     EXACT sketch (same md5-derived permutations, same band buckets), so
@@ -1225,6 +1268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": q_doc_lang_id,
     "doc_quality": q_doc_quality,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash_pairs": q_doc_simhash_pairs,
     # similarity search
@@ -1271,6 +1315,7 @@ ORACLES: dict[str, str] = {
     "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+    "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "doc_simhash_pairs": SQL_DOC_SIMHASH_PAIRS,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,

@@ -122,3 +122,16 @@ def test_embedding_near_dup_pairs_recovers_planted_dups(spark):
     assert {(i, 1000 + i) for i in range(10)} <= got   # all planted pairs found
     # no false positives among unrelated random vectors
     assert all(b - a == 1000 for a, b in got)
+
+
+def test_dedup_clusters_connected_components(spark):
+    ids = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    # components: {0,1,2} (triangle), {3,4,5} (chain), {6}, {7}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5)], ["id_a", "id_b"])
+    got = D.dedup_clusters(ids, pairs).toPandas().set_index("doc_id") \
+        .cluster_id.to_dict()
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6, 7: 7}
+    # keep/drop decision: representatives are exactly the cluster minima
+    keep = {d for d, c in got.items() if d == c}
+    assert keep == {0, 3, 6, 7}
