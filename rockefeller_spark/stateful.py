@@ -62,9 +62,10 @@ def _sessionize_group(gap_sec: int):
             if state.exists:
                 start_us, end_us, n = state.get
             else:
+                # open a zero-event session at the first timestamp; the
+                # fold below counts every event including the first
                 first = int(ts_us.iloc[0])
                 start_us, end_us, n = first, first, 0
-                ts_us = ts_us  # first event folds in below
             for t in (int(x) for x in ts_us):
                 if t - end_us > gap_us:
                     closed.append((start_us, end_us, n))
