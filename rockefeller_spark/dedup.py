@@ -22,10 +22,55 @@ All pure `pyspark.sql.functions` higher-order expressions — zero UDFs.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rockefeller_spark.textops import fingerprint, word_shingles
+
+log = logging.getLogger("rockefeller_spark.dedup")
+
+# Default degenerate-group cap for every candidate-generating self-join in
+# the dedup/sketch family (shingle posting lists, LSH band buckets, SimHash
+# chunks, sign-LSH chunks). A group of m members yields ~m²/2 join rows, so
+# one boilerplate shingle or an m-sized exact-duplicate cluster — common in
+# web corpora — turns the band join quadratic. Groups above the cap are
+# non-discriminative (they assert near-nothing about similarity) and are
+# dropped WHOLESALE, with the dropped volume logged, never silently. The
+# registry oracles bake the same constant, so capped and uncapped runs are
+# value-checked either way.
+DEFAULT_MAX_GROUP = 1000
+
+
+def _drop_heavy_groups(df: DataFrame, keys: list[str], max_size: int,
+                       what: str) -> DataFrame:
+    """Degenerate-bucket defense: remove every (keys) group with more than
+    ``max_size`` member rows from ``df`` before it feeds a self-join.
+
+    The heavy-group list is computed first (one map-side-combined count —
+    ``df`` should be persisted by the caller since it is scanned again by
+    the join) and the dropped volume is logged. The filter is a broadcast
+    anti-join when the list is small (the normal case: degenerate groups
+    are by definition rare), a plain anti-join otherwise.
+    """
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    heavy = sizes.filter(F.col("_n") > max_size)
+    stats = heavy.agg(F.count(F.lit(1)).alias("g"),
+                      F.sum("_n").alias("rows")).collect()[0]
+    if not stats["g"]:
+        return df
+    log.warning(
+        "%s: dropping %d degenerate group(s) holding %d rows (> %d members "
+        "each) from the candidate join — pairs supported ONLY by these "
+        "groups will not be emitted (run exact dedup first to fold "
+        "identical-document clusters)",
+        what, stats["g"], stats["rows"], max_size)
+    rhs = heavy.select(*keys)
+    if stats["g"] <= 100_000:
+        rhs = F.broadcast(rhs)
+    return df.join(rhs, keys, "left_anti")
+
 
 # ---------------------------------------------------------------- exact
 
@@ -84,7 +129,8 @@ def minhash_perm_constants(n_hashes: int, seed: int = 1) -> list[tuple[int, int]
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = DEFAULT_MAX_GROUP) -> DataFrame:
     """Exact shingle-Jaccard similarity for all pairs sharing ≥1 shingle.
 
     Plan shape: explode distinct shingles → self equi-join on the shingle
@@ -92,6 +138,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     not the text) → count common shingles → join per-doc shingle counts →
     Jaccard = common / (|A| + |B| - common). Only id pairs and counts ever
     shuffle. Output: (id_a, id_b, jaccard) with id_a < id_b, ≥ threshold.
+
+    ``max_df`` is the quadratic-blowup defense: a shingle held by m docs
+    contributes m²/2 join rows, so shingles with document frequency above
+    the cap are treated as non-discriminative (boilerplate) and excluded
+    from the WHOLE computation — posting lists AND per-doc sizes — i.e.
+    the Jaccard is over discriminative shingles only. Dropped volume is
+    logged; ``max_df=None`` disables the cap.
     """
     # sh feeds three subtrees (sizes + both join sides) → persist so the
     # shingling runs once, not 3× (ids+hashes only; tiny vs the text)
@@ -99,6 +152,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"))
           .select("id", F.md5(F.col("s")).alias("h"))
           .persist())
+    if max_df is not None:
+        sh = _drop_heavy_groups(sh, ["h"], max_df,
+                                "ngram_jaccard_pairs shingle posting lists")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -151,7 +207,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = 8,
-                        portable: bool = False) -> DataFrame:
+                        portable: bool = False,
+                        max_bucket: int | None = DEFAULT_MAX_GROUP) -> DataFrame:
     """Band the signature and emit candidate pairs that collide in ≥1 band.
 
     Standard LSH: rows_per_band = n_hashes / n_bands; docs equal on a whole
@@ -160,6 +217,12 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = 8,
     distributed; each bucket is tiny unless docs truly collide.
     ``portable=True`` uses md5-hex bucket ids (oracle-reproducible) instead
     of xxhash64.
+
+    ``max_bucket`` caps band-bucket size: an m-sized exact-duplicate
+    cluster collides in EVERY band and would emit n_bands·m²/2 candidate
+    rows; buckets above the cap are dropped (logged) — such clusters are
+    exact dups by construction and belong to exact_dedup, not LSH.
+    ``max_bucket=None`` disables the cap.
     """
     def bucket(b):
         joined = F.concat_ws(
@@ -172,6 +235,10 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = 8,
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(n_bands - 1)), bucket))
         .alias("band", "bucket")))
+    if max_bucket is not None:
+        bands = bands.persist()   # scanned by the size count + both join sides
+        bands = _drop_heavy_groups(bands, ["band", "bucket"], max_bucket,
+                                   "lsh_candidate_pairs band buckets")
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -185,7 +252,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         n_hashes: int = 32, n_bands: int = 8,
                         threshold: float = 0.7,
-                        portable: bool = False) -> DataFrame:
+                        portable: bool = False,
+                        max_bucket: int | None = DEFAULT_MAX_GROUP) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified: LSH candidates are re-scored
     by estimated Jaccard (matching signature fraction) and thresholded.
     Output (id_a, id_b, est_jaccard).
@@ -198,7 +266,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     reusing them across dedup runs."""
     sigs = minhash_signatures(df, text_col, id_col, k, n_hashes,
                               portable=portable).persist()
-    cands = lsh_candidate_pairs(sigs, n_bands, portable=portable)
+    cands = lsh_candidate_pairs(sigs, n_bands, portable=portable,
+                                max_bucket=max_bucket)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
@@ -224,14 +293,20 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     the min of its own label and its neighbors' labels (one equi-join +
     one hash aggregation, both AQE-sized); rounds repeat until a fixpoint
     (≤ graph diameter, typically 2-4 for dedup clusters — near-dup
-    components are dense). Labels persist between rounds; the driver only
-    ever collects a 1-row convergence flag, never data."""
+    components are dense). Each round's labels are ``localCheckpoint``-ed:
+    persist alone leaves the logical plan growing by one join per round,
+    and re-analyzing that tree OOMs the driver after ~10 rounds (measured)
+    — checkpointing truncates lineage so plan cost stays constant per
+    round. (On a fleet with flaky executors, swap for a reliable
+    ``checkpoint()`` to a cluster-visible dir.) The driver only ever
+    collects a 1-row convergence flag, never data."""
     ids = df.select(F.col(id_col).alias("id")).distinct()
     half = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = (half.unionByName(half.select(F.col("b").alias("a"),
                                           F.col("a").alias("b")))
              .distinct().persist())
-    labels = ids.select("id", F.col("id").alias("label")).persist()
+    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         nbr = (labels.join(edges, labels.id == edges.a)
                .groupBy("b").agg(F.min("label").alias("nl"))
@@ -240,16 +315,25 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                       .select("id", F.least(F.col("label"),
                                             F.coalesce("nl", "label"))
                               .alias("label"))
-                      .persist())
+                      .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Returning partial labels would silently split one component
+        # across cluster ids (and diverge from the transitive-closure
+        # oracle) — fail loudly instead. Min-label propagation converges
+        # in ≤ component-diameter rounds, so hitting this means a chain of
+        # near-dup pairs longer than max_iter: rerun with a higher limit.
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            f"rounds (a component's diameter exceeds it); rerun with a "
+            f"larger max_iter")
     return labels.select(F.col("id").alias(id_col),
                          F.col("label").alias("cluster_id"))
 
@@ -286,17 +370,26 @@ def simhash60(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       portable: bool = False) -> DataFrame:
+                       portable: bool = False,
+                       max_bucket: int | None = DEFAULT_MAX_GROUP) -> DataFrame:
     """Hamming-≤k pairs via banding: split the 60-bit sketch into 4 15-bit
     chunks; any pair within Hamming 3 agrees exactly on ≥1 chunk
     (pigeonhole), so join on chunks then verify with bit_count. The sketch
     table feeds both sides of the self-join → persisted (one id+long row
-    per doc), so tokenization runs once."""
+    per doc), so tokenization runs once.
+
+    ``max_bucket`` drops degenerate (band, chunk) buckets — an m-sized
+    identical-document cluster shares all 4 chunks and would emit 4·m²/2
+    candidate rows (logged; ``None`` disables)."""
     sh = simhash60(df, text_col, id_col, portable=portable).persist()
     chunks = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1))
         for i in range(4)])
     banded = sh.select("id", "simhash", F.posexplode(chunks).alias("band", "chunk"))
+    if max_bucket is not None:
+        banded = banded.persist()
+        banded = _drop_heavy_groups(banded, ["band", "chunk"], max_bucket,
+                                    "simhash_near_pairs chunk buckets")
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

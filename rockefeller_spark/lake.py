@@ -445,7 +445,8 @@ class LakeTable:
         return self.read(buckets={b}).filter(F.col(snap.bucket_col) == key_value)
 
     def expire_snapshots(self, keep_last: int = 2, *,
-                         clean_orphans: bool = True) -> dict[str, Any]:
+                         clean_orphans: bool = True,
+                         orphan_grace_s: float = 3600.0) -> dict[str, Any]:
         """Maintenance: expire old snapshots and physically delete data
         files no retained snapshot references (Iceberg's ``expireSnapshots``
         + ``removeOrphanFiles`` analog). Without this, streaming cadence —
@@ -459,22 +460,37 @@ class LakeTable:
         files — which are ignorable garbage until deleted, exactly
         Iceberg's orphan model.
 
-        Safety: the current snapshot chain is never touched (``keep_last``
-        is floored at 1), deletion happens strictly after the retained set
-        is computed from on-disk metadata, and the operation is
-        single-writer like commits themselves. Returns deletion stats."""
+        Safety against a CONCURRENT in-flight commit (apply/compact that
+        has moved new files into data/ but not yet swapped the hint): those
+        files are referenced by no snapshot yet, so they'd look identical
+        to crash orphans. Two classes are therefore distinguished:
+
+        - files referenced by an *expired* snapshot were committed in the
+          past and no pending commit re-adds an existing file → deleted
+          immediately;
+        - files referenced by NO on-disk snapshot (true orphans) and
+          ``.stage-*`` dirs are deleted only when older than
+          ``orphan_grace_s`` seconds (Iceberg ``removeOrphanFiles``'s
+          ``olderThan``) — an in-flight commit finishes well inside the
+          grace window, a crash leftover ages past it.
+
+        The current snapshot chain is never touched (``keep_last`` is
+        floored at 1) and the retained set is computed from on-disk
+        metadata before any deletion. Returns deletion stats."""
         keep_last = max(int(keep_last), 1)
         current = self.current_version()
-        retained = [s for s in self.history()
-                    if s.snapshot_id > current - keep_last]
+        history = self.history()
+        retained = [s for s in history if s.snapshot_id > current - keep_last]
         referenced = {f.path for s in retained for f in s.files}
+        expired = [s for s in history if s.snapshot_id <= current - keep_last]
+        expired_refs = {f.path for s in expired for f in s.files}
 
         expired_meta = 0
-        for s in self.history():
-            if s.snapshot_id <= current - keep_last:
-                os.remove(self._meta_path(s.snapshot_id))
-                expired_meta += 1
+        for s in expired:
+            os.remove(self._meta_path(s.snapshot_id))
+            expired_meta += 1
 
+        now = time.time()
         deleted_files = 0
         freed_bytes = 0
         for fname in os.listdir(self.data_dir):
@@ -482,6 +498,14 @@ class LakeTable:
             if rel in referenced:
                 continue
             full = os.path.join(self.data_dir, fname)
+            if rel not in expired_refs:
+                # true orphan: possibly an in-flight commit's staged-in
+                # file — only reclaim once it has aged past the grace
+                try:
+                    if now - os.path.getmtime(full) < orphan_grace_s:
+                        continue
+                except FileNotFoundError:
+                    continue
             freed_bytes += os.path.getsize(full)
             os.remove(full)
             deleted_files += 1
@@ -489,10 +513,16 @@ class LakeTable:
         orphan_dirs = 0
         if clean_orphans:
             for d in os.listdir(self.path):
-                if d.startswith(".stage-"):
-                    shutil.rmtree(os.path.join(self.path, d),
-                                  ignore_errors=True)
-                    orphan_dirs += 1
+                if not d.startswith(".stage-"):
+                    continue
+                full = os.path.join(self.path, d)
+                try:
+                    if now - os.path.getmtime(full) < orphan_grace_s:
+                        continue
+                except FileNotFoundError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                orphan_dirs += 1
 
         return {"expired_snapshots": expired_meta,
                 "deleted_files": deleted_files,

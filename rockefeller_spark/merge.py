@@ -151,6 +151,16 @@ def apply_batch(table: LakeTable, events: DataFrame, *,
         merged = dedupe_lww(stored_src, order_col="_lsn")
     else:
         target = table.read(buckets=touched)
+        if snap.multi_version:
+            # Pending MOR delta files SPAN buckets, so the pruned read still
+            # carries rows of keys outside the touched buckets; keep only
+            # rows that hash into a touched bucket or the merge would emit
+            # (and the guard below reject) untouched-bucket rows. Delta-file
+            # copies of the keys we rewrite stay behind in the snapshot, but
+            # they are (key, _lsn) duplicates of — or older than — the
+            # rewritten winners, and the snapshot stays multi-version, so
+            # read-time LWW resolves them exactly until compact().
+            target = target.filter(bexpr.isin(sorted(touched)))
         merged_in = target.unionByName(stored_src, allowMissingColumns=True)
         rest = [c for c in merged_in.columns
                 if c not in S.KEY_COLS and c not in ("_bucket", "_salt")]

@@ -94,8 +94,11 @@ def events_as_changes(ev: DataFrame) -> DataFrame:
 # One scratch table dir shared by every q_cdc_apply_full invocation: the
 # returned DataFrame reads the committed files lazily, so the dir must
 # outlive the call — but each new invocation (and interpreter exit) clears
-# the previous one, so at most ONE copy ever exists on disk.
-_APPLY_SCRATCH = os.path.join(tempfile.gettempdir(), "rk-apply-scratch")
+# the previous one, so at most ONE copy ever exists on disk. The PID in the
+# path keeps two harness processes on the same host from clobbering each
+# other's live table mid-query.
+_APPLY_SCRATCH = os.path.join(tempfile.gettempdir(),
+                              f"rk-apply-scratch-{os.getpid()}")
 atexit.register(shutil.rmtree, _APPLY_SCRATCH, True)
 
 
@@ -112,7 +115,8 @@ def q_cdc_apply_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_state(table)
 
 
-_MOR_SCRATCH = os.path.join(tempfile.gettempdir(), "rk-mor-scratch")
+_MOR_SCRATCH = os.path.join(tempfile.gettempdir(),
+                            f"rk-mor-scratch-{os.getpid()}")
 atexit.register(shutil.rmtree, _MOR_SCRATCH, True)
 
 
@@ -761,13 +765,17 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_NGRAM_JACCARD = f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array({_CANON_SQL}, ' ') AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          md5(CASE WHEN len(t) >= 3
                   THEN array_to_string(t[i:i+2], ' ')
                   ELSE array_to_string(t, ' ') END) AS h
   FROM toks,
        UNNEST(range(1, CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 2 END)) AS u(i)),
+-- degenerate-posting-list cap: same max_df the Spark operator defaults to
+sh AS (
+  SELECT * FROM sh0 WHERE h NOT IN (
+    SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) > {D.DEFAULT_MAX_GROUP})),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -795,13 +803,16 @@ SQL_DOC_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE
 toksj AS (
   SELECT doc_id, regexp_split_to_array({_CANON_SQL}, ' ') AS t FROM documents),
-shj AS (
+shj0 AS (
   SELECT DISTINCT doc_id,
          md5(CASE WHEN len(t) >= 3
                   THEN array_to_string(t[i:i+2], ' ')
                   ELSE array_to_string(t, ' ') END) AS h
   FROM toksj,
        UNNEST(range(1, CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 2 END)) AS u(i)),
+shj AS (
+  SELECT * FROM shj0 WHERE h NOT IN (
+    SELECT h FROM shj0 GROUP BY h HAVING COUNT(*) > {D.DEFAULT_MAX_GROUP})),
 sizesj AS (SELECT doc_id, COUNT(*) AS n FROM shj GROUP BY doc_id),
 commonj AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -881,10 +892,15 @@ mins AS (
 sig AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM mins),
 mh AS (SELECT doc_id, i, sig[CAST(i AS INTEGER)] AS m
        FROM sig, UNNEST(range(1, 33)) AS u2(i)),
-bands AS (
+bands0 AS (
   SELECT doc_id, bi,
          md5(array_to_string(sig[bi*4+1 : bi*4+4], ',')) AS bucket
   FROM sig, UNNEST(range(0, 8)) AS u3(bi)),
+-- degenerate-band-bucket cap: same max_bucket the Spark operator defaults to
+heavyb AS (SELECT bi, bucket FROM bands0 GROUP BY bi, bucket
+           HAVING COUNT(*) > {D.DEFAULT_MAX_GROUP}),
+bands AS (
+  SELECT b0.* FROM bands0 b0 ANTI JOIN heavyb h USING (bi, bucket)),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
@@ -920,9 +936,13 @@ bits AS (
 {_SIMHASH_BIT_SUMS}
   FROM tok GROUP BY doc_id),
 sim AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM bits),
-banded AS (
+banded0 AS (
   SELECT doc_id, simhash, i AS band, (simhash >> (15 * i)) & 32767 AS chunk
-  FROM sim, UNNEST(range(0, 4)) AS u(i))
+  FROM sim, UNNEST(range(0, 4)) AS u(i)),
+heavyc AS (SELECT band, chunk FROM banded0 GROUP BY band, chunk
+           HAVING COUNT(*) > {D.DEFAULT_MAX_GROUP}),
+banded AS (
+  SELECT b0.* FROM banded0 b0 ANTI JOIN heavyc h USING (band, chunk))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM banded a JOIN banded b
@@ -1115,9 +1135,13 @@ sb AS (SELECT vec_id,
               CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p)
                             ELSE 0::BIGINT END) AS BIGINT) AS signbits
        FROM pd GROUP BY vec_id),
-banded AS (SELECT vec_id, signbits, b AS band,
-                  (signbits >> (4 * b)) & 15 AS chunk
-           FROM sb, UNNEST(range(0, 4)) AS u(b)),
+banded0 AS (SELECT vec_id, signbits, b AS band,
+                   (signbits >> (4 * b)) & 15 AS chunk
+            FROM sb, UNNEST(range(0, 4)) AS u(b)),
+heavyc AS (SELECT band, chunk FROM banded0 GROUP BY band, chunk
+           HAVING COUNT(*) > 1000),
+banded AS (
+  SELECT b0.* FROM banded0 b0 ANTI JOIN heavyc h USING (band, chunk)),
 cands AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id

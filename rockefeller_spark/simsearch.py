@@ -133,7 +133,8 @@ def assign_centroids_topn(df: DataFrame, centroids: DataFrame, n: int,
 def embedding_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.98,
                              n_planes: int = 16, seed: int = 7,
                              max_hamming: int = 3, id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             max_bucket: int | None = 1000) -> DataFrame:
     """All-pairs embedding near-duplicate detection at corpus scale — the
     vector-space member of the dedup family (exact / Jaccard / MinHash /
     SimHash live in dedup.py).
@@ -143,7 +144,17 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.98,
     pair within ``max_hamming`` ≤ 3 agrees exactly on ≥1 chunk) → exact
     cosine verify ≥ ``threshold`` on candidates only. The shuffle key is a
     small int chunk; vectors join in only for the surviving candidate ids.
-    Output (id_a, id_b, cosine_sim)."""
+    Output (id_a, id_b, cosine_sim).
+
+    ``max_bucket`` caps degenerate (band, chunk) buckets: an m-sized
+    exact-duplicate vector cluster collides in every band → 4·m²/2
+    candidate rows, so over-cap buckets are dropped and the volume logged
+    (``None`` disables). Tuning note: bucket capacity scales with the
+    chunk space (2^(n_planes/4) values), so with few planes and a large
+    corpus even legitimate buckets exceed the cap — the loud drop is the
+    signal that the band join itself is degenerate at that size and
+    ``n_planes`` must grow (≥64 at web scale → 16-bit chunks), which is
+    also what recall wants."""
     assert n_planes % 4 == 0
     sigs = lsh_signbits(df, dim, n_planes, seed, id_col, vec_col).persist()
     width = n_planes // 4
@@ -153,6 +164,11 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.98,
         for i in range(4)])
     banded = sigs.select(F.col(id_col).alias("id"), "signbits",
                          F.posexplode(chunks).alias("band", "chunk"))
+    if max_bucket is not None:
+        from rockefeller_spark.dedup import _drop_heavy_groups
+        banded = banded.persist()
+        banded = _drop_heavy_groups(banded, ["band", "chunk"], max_bucket,
+                                    "embedding_near_dup_pairs chunk buckets")
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.signbits").bitwiseXOR(F.col("b.signbits")))

@@ -132,10 +132,19 @@ def test_expire_snapshots_gc(spark, table):
         fh.write(b"not really parquet")
     n_files_before = len(os.listdir(table.data_dir))
 
+    # default grace: files referenced by EXPIRED snapshots go immediately,
+    # but fresh true-orphans (indistinguishable from an in-flight commit's
+    # staged-in files) are retained until they age past the grace window
     stats = table.expire_snapshots(keep_last=2)
     assert stats["expired_snapshots"] == 3          # v0, v1, v2
-    assert stats["orphan_dirs_removed"] == 1
+    assert stats["orphan_dirs_removed"] == 0
     assert stats["deleted_files"] > 0
+    assert os.path.exists(orphan)
+    assert os.path.exists(os.path.join(table.path, ".stage-deadbeef"))
+
+    # grace elapsed (forced to 0): crash leftovers are reclaimed
+    stats = table.expire_snapshots(keep_last=2, orphan_grace_s=0.0)
+    assert stats["orphan_dirs_removed"] == 1
     assert not os.path.exists(orphan)
     assert not os.path.exists(os.path.join(table.path, ".stage-deadbeef"))
     assert len(os.listdir(table.data_dir)) < n_files_before

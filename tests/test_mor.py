@@ -95,6 +95,33 @@ def test_mixed_cow_and_mor_converge(spark, table):
                                   check_dtype=False)
 
 
+def test_cow_subset_buckets_with_pending_deltas(spark, table):
+    """A CoW batch touching a STRICT SUBSET of buckets while MOR deltas
+    (which span buckets) are pending: the pruned target read must not leak
+    other buckets' delta rows into the merge (regression: the untouched-
+    bucket guard used to raise ValueError on every such apply)."""
+    ev = gen.gen_change_events(spark, n_events=1200, n_convs=12, seed=97,
+                               p_delete=0.15)
+    pdf = ev.toPandas()
+    res = apply_batch(table, ev, mode="mor")
+    assert table.current().multi_version
+    # pick one conversation → its batch touches exactly one bucket
+    conv = pdf.conv_id.iloc[0]
+    upd = pdf[pdf.conv_id == conv].copy()
+    upd["lsn"] = upd["lsn"] + 10_000_000
+    upd["text"] = "rewritten"
+    res = apply_batch(table, spark.createDataFrame(upd, ev.schema),
+                      mode="cow")
+    assert not res.skipped
+    assert len(res.buckets_touched) < table.current().n_buckets
+    assert table.current().multi_version          # deltas still pending
+    _check(table, pd.concat([pdf, upd], ignore_index=True))
+    # a later full compact folds the leftover delta copies away
+    table.compact()
+    assert not table.current().multi_version
+    _check(table, pd.concat([pdf, upd], ignore_index=True))
+
+
 def test_streaming_mor_drain_equals_oracle(spark, table, tmp_path):
     """The wired streaming path in MOR mode: drain a WAL, deltas append,
     read-time resolution matches the oracle."""

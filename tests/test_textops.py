@@ -124,6 +124,73 @@ def test_embedding_near_dup_pairs_recovers_planted_dups(spark):
     assert all(b - a == 1000 for a, b in got)
 
 
+def test_degenerate_bucket_caps_bound_the_candidate_joins(spark, caplog):
+    """Planted pathology: thousands of copies of one document (the web-
+    corpus worst case). Uncapped, every candidate join is quadratic in the
+    cluster size (m²/2 pairs per shared shingle / band bucket); with the
+    degenerate-group caps the heavy groups are dropped — LOUDLY — and the
+    operators stay linear while still finding pairs among normal docs."""
+    m = 3000
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and again")
+            for i in range(m)]
+    rows += [(10000, "a unique document about query planning strategies today"),
+             (10001, "a unique document about query planning strategies tonight"),
+             (10002, "totally unrelated content concerning garden furniture")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    with caplog.at_level("WARNING", logger="rockefeller_spark.dedup"):
+        jac = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=64).toPandas()
+    assert "dropping" in caplog.text          # never silent
+    # every shingle of the m-cluster is heavy → no quadratic pair emission;
+    # the discriminative planted pair still comes through
+    assert set(map(tuple, jac[["id_a", "id_b"]].values)) == {(10000, 10001)}
+
+    caplog.clear()
+    with caplog.at_level("WARNING", logger="rockefeller_spark.dedup"):
+        mh = D.minhash_dedup_pairs(docs, threshold=0.5,
+                                   max_bucket=64).toPandas()
+    assert "lsh_candidate_pairs band buckets" in caplog.text
+    assert not ((mh.id_a < m) & (mh.id_b < m)).any()   # no m-cluster pairs
+
+    caplog.clear()
+    with caplog.at_level("WARNING", logger="rockefeller_spark.dedup"):
+        sp = D.simhash_near_pairs(docs, max_bucket=64).toPandas()
+    assert "simhash_near_pairs chunk buckets" in caplog.text
+    assert not ((sp.id_a < m) & (sp.id_b < m)).any()
+
+
+def test_embedding_near_dup_bucket_cap(spark, caplog):
+    """Same pathology in vector space: a large exact-duplicate vector
+    cluster collides in every sign-LSH band; the bucket cap drops it."""
+    import numpy as np
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=16)
+    m = 2000
+    rows = [(i, [float(x) for x in base]) for i in range(m)]
+    extra = rng.normal(size=(20, 16))
+    rows += [(10000 + i, [float(x) for x in extra[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with caplog.at_level("WARNING", logger="rockefeller_spark.dedup"):
+        pairs = V.embedding_near_dup_pairs(df, dim=16, threshold=0.98,
+                                           max_bucket=64).toPandas()
+    assert "embedding_near_dup_pairs chunk buckets" in caplog.text
+    assert not ((pairs.id_a < m) & (pairs.id_b < m)).any()
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """A pair chain longer than max_iter must fail loudly, not return
+    silently split components."""
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters(ids, chain, max_iter=2)
+    # ...and succeeds with an adequate round budget
+    got = D.dedup_clusters(ids, chain, max_iter=n).toPandas()
+    assert set(got.cluster_id) == {0}
+
+
 def test_dedup_clusters_connected_components(spark):
     ids = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
     # components: {0,1,2} (triangle), {3,4,5} (chain), {6}, {7}
