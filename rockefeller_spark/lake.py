@@ -125,6 +125,70 @@ def bucket_expr(col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
 
 
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64(data: bytes, seed: int = 42) -> int:
+    """Pure-Python XXH64 (reference algorithm), seed 42 — the exact hash
+    Spark's ``F.xxhash64`` computes over a string's UTF-8 bytes. Driver-
+    side so a point lookup can compute its key's bucket WITHOUT launching
+    a 1-row Spark job (pinned equal to ``bucket_expr`` by test). Returns
+    the SIGNED 64-bit value Spark returns."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        acc = [(seed + _XXP1 + _XXP2) & _M64, (seed + _XXP2) & _M64,
+               seed & _M64, (seed - _XXP1) & _M64]
+        while i + 32 <= n:
+            for lane in range(4):
+                k = int.from_bytes(data[i + 8 * lane:i + 8 * lane + 8],
+                                   "little")
+                a = (acc[lane] + k * _XXP2) & _M64
+                acc[lane] = (_rotl64(a, 31) * _XXP1) & _M64
+            i += 32
+        h = (_rotl64(acc[0], 1) + _rotl64(acc[1], 7)
+             + _rotl64(acc[2], 12) + _rotl64(acc[3], 18)) & _M64
+        for v in acc:
+            k = (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = (((h ^ k) * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        k = (_rotl64((k * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = ((_rotl64(h ^ k, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i:i + 4], "little")
+        h = ((_rotl64(h ^ ((k * _XXP1) & _M64), 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ ((data[i] * _XXP5) & _M64), 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def key_bucket(key_value: str, n_buckets: int) -> int:
+    """Driver-side twin of ``bucket_expr`` for one key (pmod of the
+    signed xxhash64, like Spark's pmod)."""
+    return xxhash64(key_value.encode("utf-8")) % n_buckets
+
+
 class LakeTable:
     """Handle on one icelake table rooted at ``path``."""
 
@@ -432,16 +496,16 @@ class LakeTable:
                            multi_version=False if buckets is None else None)
 
     def lookup(self, key_value: str) -> DataFrame:
-        """Point lookup: hash the key to its bucket driver-side, read ONLY
-        that bucket's files (plus any pending bucket-spanning MOR deltas),
-        and filter — at 10^10 rows a lookup touches 1/n_buckets of the
-        table, not a full scan. The residual filter also reaches the
-        parquet scan (PushedFilters), pruning row groups inside the
-        bucket's files."""
+        """Point lookup: hash the key to its bucket DRIVER-SIDE (pure-
+        Python xxhash64 — no 1-row Spark job; pinned equal to
+        ``bucket_expr`` by test), read ONLY that bucket's files (plus any
+        pending bucket-spanning MOR deltas), and filter — at 10^10 rows a
+        lookup touches 1/n_buckets of the table, not a full scan, and
+        issues exactly ONE Spark job (the pruned read). The residual
+        filter also reaches the parquet scan (PushedFilters), pruning row
+        groups inside the bucket's files."""
         snap = self.current()
-        b = self.spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(key_value)), F.lit(snap.n_buckets))
-            .cast("int").alias("b")).collect()[0]["b"]
+        b = key_bucket(key_value, snap.n_buckets)
         return self.read(buckets={b}).filter(F.col(snap.bucket_col) == key_value)
 
     def expire_snapshots(self, keep_last: int = 2, *,

@@ -574,15 +574,19 @@ FROM events WHERE user_id < 5
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward as-of join (union + one window carry-forward, one shuffle):
-    every event gets the value of the user's most recent purchase at or
-    before it. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    """Backward as-of join in the SKEW-SAFE chunked shape (per-(key,
+    time-chunk) carry-forward + tiny per-key boundary window — a hot key
+    spreads over its chunks; the single-window default is property-tested
+    equal in test_joins). Every event gets the value of the user's most
+    recent purchase at or before it. Oracle: DuckDB's native ASOF LEFT
+    JOIN."""
     from rockefeller_spark.joins import asof_join
     ev = _t(spark, sf_dir, "events")
     left = ev.select("user_id", "event_id", "ts")
     right = (ev.filter(F.col("event_type") == "purchase")
              .select("user_id", "ts", "value"))
-    out = asof_join(left, right, on=["user_id"], value_cols=["value"])
+    out = asof_join(left, right, on=["user_id"], value_cols=["value"],
+                    chunk_sec=6 * 3600)
     return out.select("user_id", "event_id",
                       F.col("value_asof").alias("last_purchase_value"))
 

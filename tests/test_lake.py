@@ -266,3 +266,19 @@ def test_point_lookup_prunes_to_one_bucket(spark, table):
                              if f.bucket == b) for b in range(4))
     assert n_read < n_total
     assert n_read <= n_bucket_files + 1
+
+
+def test_driver_side_bucket_hash_pins_to_bucket_expr(spark):
+    """lookup()'s driver-side xxhash64/key_bucket must equal the Spark
+    bucket_expr for a spread of keys (incl. empty, multi-byte UTF-8, and
+    ≥32-byte strings that exercise the stripe loop), so a point lookup
+    never needs a 1-row Spark job to find its bucket."""
+    from rockefeller_spark.lake import bucket_expr, key_bucket, xxhash64
+    keys = ["", "a", "cafè", "héllo wörld ünïcode", "x" * 31, "y" * 32,
+            "z" * 100, "c00000003"] + [f"u{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], ["conv_id"])
+    rows = df.select("conv_id", F.xxhash64("conv_id").alias("h"),
+                     bucket_expr("conv_id", 32).alias("b")).collect()
+    for r in rows:
+        assert xxhash64(r["conv_id"].encode("utf-8")) == r["h"]
+        assert key_bucket(r["conv_id"], 32) == r["b"]
