@@ -1,0 +1,87 @@
+"""Table maintenance policy: the operational loop that keeps a streaming
+merge-on-read table healthy without operator intervention.
+
+MOR apply is O(batch) because it defers work: every delta batch appends
+bucket-SPANNING files that (a) disable bucket pruning for themselves and
+(b) make every ``read_state`` pay a growing LWW resolve. Left alone at
+streaming cadence the table degrades without bound — so the stream job
+(or a cron'd maintenance worker on a fleet) runs :func:`maintain` after
+each commit:
+
+1. **Full compact** when pending delta files exceed ``max_delta_files``
+   OR delta rows exceed ``max_delta_row_fraction`` of the table — folds
+   deltas into single-version bucketed files, restoring plain-scan reads
+   and bucket pruning. Both triggers come from snapshot METADATA (file
+   counts + footer row counts), zero Spark jobs to evaluate.
+2. **Incremental bucket compact** otherwise: the ≤ ``max_fragmented_buckets``
+   worst buckets with more than ``max_bucket_files`` fragments get
+   rewritten — the continuous shape a fleet runs so no single cycle ever
+   pays a full-table rewrite.
+3. **Snapshot expiry** (``expire_keep_last``): streaming cadence mints one
+   snapshot per micro-batch; without GC, metadata and dead files grow
+   forever. Runs with the orphan grace window so it is safe next to
+   in-flight work.
+
+Tombstone safety: auto-compaction keeps tombstones (``drop_tombstones``
+defaults to False here, unlike manual ``compact``) — dropping a tombstone
+is only safe once no event older than it can still arrive, which is an
+operator-level statement about the upstream log, not something a policy
+timer can know.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass
+from typing import Any
+
+from rockefeller_spark.lake import LakeTable
+
+
+@dataclass
+class CompactionPolicy:
+    """Thresholds for :func:`maintain`. Defaults suit a trickle stream
+    (small frequent batches into a large table)."""
+    max_delta_files: int = 8
+    max_delta_row_fraction: float = 0.25
+    max_bucket_files: int = 8
+    max_fragmented_buckets: int = 4
+    expire_keep_last: int | None = 8
+    orphan_grace_s: float = 3600.0
+    drop_tombstones: bool = False
+    write_salt: int = 0
+
+
+def maintain(table: LakeTable, policy: CompactionPolicy) -> dict[str, Any]:
+    """Run one maintenance cycle; returns what was done. Decision inputs
+    are snapshot metadata only — evaluating a no-op cycle costs zero
+    Spark jobs."""
+    snap = table.current()
+    delta_files = [f for f in snap.files if f.bucket is None]
+    total_rows = sum(f.rows for f in snap.files)
+    delta_rows = sum(f.rows for f in delta_files)
+    actions: dict[str, Any] = {"full_compact": False, "bucket_compacts": [],
+                               "pending_delta_files": len(delta_files),
+                               "expired": None}
+
+    if delta_files and (
+            len(delta_files) > policy.max_delta_files
+            or delta_rows > policy.max_delta_row_fraction * max(total_rows, 1)):
+        table.compact(drop_tombstones=policy.drop_tombstones,
+                      write_salt=policy.write_salt)
+        actions["full_compact"] = True
+    elif not snap.multi_version:
+        # incremental: rewrite only the worst-fragmented buckets
+        counts = Counter(f.bucket for f in snap.files if f.bucket is not None)
+        frag = [b for b, c in counts.most_common(policy.max_fragmented_buckets)
+                if c > policy.max_bucket_files]
+        if frag:
+            table.compact(buckets=set(frag),
+                          drop_tombstones=policy.drop_tombstones,
+                          write_salt=policy.write_salt)
+            actions["bucket_compacts"] = sorted(frag)
+
+    if policy.expire_keep_last is not None:
+        actions["expired"] = table.expire_snapshots(
+            policy.expire_keep_last, orphan_grace_s=policy.orphan_grace_s)
+    return actions

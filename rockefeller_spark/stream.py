@@ -28,14 +28,15 @@ from __future__ import annotations
 
 import hashlib
 import os
-from typing import Any
+from typing import Any, Callable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from rockefeller_spark import schema as S
 from rockefeller_spark.lake import LakeTable
+from rockefeller_spark.maintenance import CompactionPolicy, maintain
 from rockefeller_spark.merge import apply_batch
 from rockefeller_spark.metrics import MetricsLog
 from rockefeller_spark.quarantine import split_quarantine
@@ -45,6 +46,38 @@ def stream_id_for(checkpoint_dir: str) -> str:
     """Stable stream identity across restarts: derived from the checkpoint
     location (same checkpoint = same logical stream = same epoch ledger)."""
     return "wal-" + hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+
+
+def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
+                       *, write_salt: int = 4, mode: str = "cow",
+                       metrics: MetricsLog | None = None,
+                       compaction: CompactionPolicy | None = None,
+                       transform: Callable[[DataFrame], DataFrame] | None = None,
+                       ) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` body, exposed so ANY source shape can drive the
+    sink — the file tail below, a rate source, or ``format("kafka")`` with
+    a ``transform`` that parses the value bytes into the change-event
+    shape. Each micro-batch: optional transform → dead-letter split
+    (epoch-keyed idempotent quarantine write) → idempotent apply →
+    metrics → optional auto-maintenance (:func:`maintenance.maintain`)."""
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        good, bad = split_quarantine(batch_df)
+        # epoch-keyed overwrite: replaying this batch rewrites the same
+        # subdir rather than appending duplicates
+        (bad.withColumn("_stream_id", F.lit(stream_id))
+            .withColumn("_epoch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(quarantine_dir,
+                                  f"{stream_id}-{batch_id:08d}")))
+        res = apply_batch(table, good, stream_id=stream_id, epoch=batch_id,
+                          write_salt=write_salt, mode=mode)
+        if metrics is not None:
+            metrics.record(res, stream_id=stream_id, epoch=batch_id)
+        if compaction is not None and res.snapshot is not None:
+            maintain(table, compaction)
+    return _apply
 
 
 def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
@@ -59,6 +92,7 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
                dedup_in_stream: bool = False,
                metrics: MetricsLog | None = None,
                quarantine_dir: str | None = None,
+               compaction: CompactionPolicy | None = None,
                options: dict[str, Any] | None = None) -> StreamingQuery:
     """Start the WAL tail. Returns the StreamingQuery; callers own its
     lifecycle (``processAllAvailable``/``awaitTermination``/``stop``).
@@ -74,6 +108,12 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
     (default ``<table>/quarantine``) instead of the lake. Quarantine
     writes are per-epoch overwrites, so a replayed micro-batch is
     idempotent there too.
+
+    ``compaction`` (recommended for ``mode="mor"``) runs the maintenance
+    policy after each commit: without it, MOR deltas accumulate forever —
+    bucket pruning stays disabled for them and every ``read_state`` pays a
+    growing LWW resolve. The policy's no-op path costs zero Spark jobs per
+    batch (metadata checks only).
     """
     schema = event_schema or S.CHANGE_EVENT_SCHEMA
     reader = (spark.readStream.format(source_format).schema(schema))
@@ -91,19 +131,9 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
 
     sid = stream_id_for(checkpoint_dir)
     qdir = quarantine_dir or os.path.join(table.path, "quarantine")
-
-    def _apply(batch_df, batch_id: int) -> None:
-        good, bad = split_quarantine(batch_df)
-        # epoch-keyed overwrite: replaying this batch rewrites the same
-        # subdir rather than appending duplicates
-        (bad.withColumn("_stream_id", F.lit(sid))
-            .withColumn("_epoch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .parquet(os.path.join(qdir, f"{sid}-{batch_id:08d}")))
-        res = apply_batch(table, good, stream_id=sid, epoch=batch_id,
-                          write_salt=write_salt, mode=mode)
-        if metrics is not None:
-            metrics.record(res, stream_id=sid, epoch=batch_id)
+    _apply = make_batch_applier(table, sid, qdir, write_salt=write_salt,
+                                mode=mode, metrics=metrics,
+                                compaction=compaction)
 
     writer = (events.writeStream
               .foreachBatch(_apply)

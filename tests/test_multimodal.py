@@ -55,9 +55,60 @@ def test_metadata_rollup_prunes_payload(spark, tmp_path, media):
 
 
 def test_decode_stub_contract():
-    with pytest.raises(NotImplementedError):
-        M._fake_decode(b"xx", real_codec=True)
     import numpy as np
     a = M._fake_decode(b"same-bytes")
     b = M._fake_decode(b"same-bytes")
     assert np.array_equal(a, b)
+
+
+def test_codec_registry_resolution():
+    """Try-import registry: pcm16 is ALWAYS real (numpy); png/h264 are
+    real exactly when PIL/ffmpeg are present; unknown codecs fall back to
+    the deterministic fake."""
+    assert M.get_decoder("pcm16") is M._decode_pcm16
+    assert M.get_decoder("nonsense-codec") is M._fake_decode
+    assert (M.get_decoder("png") is M._decode_pil) == M.HAVE_PIL
+    assert (M.get_decoder("h264") is M._decode_ffmpeg) == M.HAVE_FFMPEG
+
+
+def test_real_pcm16_decode_through_pipeline(spark):
+    """The REAL audio path end-to-end (no external library needed): a
+    known int16 waveform flows through the Arrow mapInPandas pipeline with
+    real_codecs=True and the emitted feature equals the fold of the true
+    samples — proving the registry dispatch runs inside the executor."""
+    import numpy as np
+    samples = (np.arange(4096, dtype="<i2") % 251).tobytes()
+    rows = [(0, "audio", bytearray(samples), None, None, 16000, 1000, "pcm16")]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feat = M.extract_features(media, real_codecs=True).toPandas()
+    want = M._fold_feature(M._decode_pcm16(samples)) % 1000.0 / 1000.0
+    assert np.allclose(np.array(feat.feature.iloc[0]),
+                       want.astype(np.float32))
+    # and it differs from the fake-decode path (a real decode happened)
+    fake = M.extract_features(media, real_codecs=False).toPandas()
+    assert not np.allclose(np.array(feat.feature.iloc[0]),
+                           np.array(fake.feature.iloc[0]))
+
+
+@pytest.mark.skipif(not M.HAVE_PIL, reason="PIL not installed in container")
+def test_real_png_decode_through_pipeline(spark):
+    """Runs only where PIL exists: a real encoded PNG decodes to its
+    actual pixels through the same pipeline."""
+    import io
+    import numpy as np
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray((np.arange(64, dtype=np.uint8).reshape(8, 8)),
+                    mode="L").save(buf, format="PNG")
+    payload = buf.getvalue()
+    rows = [(0, "image", bytearray(payload), 8, 8, None, None, "png")]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feat = M.extract_features(media, real_codecs=True).toPandas()
+    want = M._fold_feature(np.arange(64, dtype=np.float64)) % 1000.0 / 1000.0
+    assert np.allclose(np.array(feat.feature.iloc[0]),
+                       want.astype(np.float32))
+
+
+@pytest.mark.skipif(not M.HAVE_FFMPEG, reason="ffmpeg not in container")
+def test_real_h264_decode_registered():
+    assert M.get_decoder("h264") is M._decode_ffmpeg

@@ -176,3 +176,114 @@ def test_stream_csv_and_json_sources(spark, tmp_path):
         got = _canon(read_state(table).toPandas())
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                       check_dtype=False)
+
+
+def test_mor_stream_auto_compaction_bounds_deltas(spark, tmp_path):
+    """Trickle MOR stream WITH a CompactionPolicy: across N micro-batches
+    the pending delta-file count stays bounded (the policy full-compacts
+    when it exceeds max_delta_files), snapshots are expired in the same
+    loop (metadata count bounded), and the visible state still matches
+    the oracle. Without the policy, deltas would grow one-per-batch and
+    every read_state would pay an unbounded LWW resolve."""
+    from rockefeller_spark.maintenance import CompactionPolicy
+    src = str(tmp_path / "wal")
+    table = LakeTable.create(spark, str(tmp_path / "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=2400, n_convs=16, seed=131,
+                               num_partitions=12)          # 12 source files
+    ev.write.mode("overwrite").parquet(src)
+    policy = CompactionPolicy(max_delta_files=3, expire_keep_last=4,
+                              orphan_grace_s=3600.0)
+    drain(spark, src, table, str(tmp_path / "ck"), mode="mor",
+          max_files_per_trigger=1, compaction=policy)
+
+    snap = table.current()
+    pending = [f for f in snap.files if f.bucket is None]
+    # bounded: 12 MOR batches appended ≥12 delta files over the run, so
+    # the bound proves the policy compacted (repeatedly)
+    assert len(pending) <= policy.max_delta_files
+    # snapshot expiry ran in the loop: bounded metadata
+    assert len(table.history()) <= policy.expire_keep_last
+    # correctness preserved through auto-compaction cycles
+    got = _canon(read_state(table).toPandas())
+    want = _canon(replay(ev.toPandas()))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # tombstone safety: auto-compaction must NOT drop tombstones (late
+    # lower-LSN events may still arrive) — a deleted key stays tombstoned
+    stored = table.read()
+    assert stored.filter(F.col("_deleted")).count() > 0
+
+
+def test_rate_source_unbounded_trigger_loop(spark, tmp_path):
+    """VERDICT #6: a genuinely UNBOUNDED non-file source (Spark's rate
+    source as the Kafka stand-in) driving the same batch applier through
+    a processing-time trigger loop: pacing works, malformed rows route to
+    quarantine per epoch, applies are epoch-gated, and stopping mid-flow
+    leaves a consistent LWW state."""
+    import os
+    from rockefeller_spark.maintenance import CompactionPolicy
+    from rockefeller_spark.stream import make_batch_applier
+
+    table = LakeTable.create(spark, str(tmp_path / "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    qdir = str(tmp_path / "q")
+
+    def to_events(df):
+        # the "kafka value parser": map (timestamp, value) onto the
+        # change-event shape; every 23rd row gets an unknown op so the
+        # dead-letter path runs under the unbounded loop too
+        return df.select(
+            F.col("value").alias("lsn"),
+            F.when(F.col("value") % 23 == 0, "X")
+             .when(F.col("value") % 7 == 0, "D").otherwise("U").alias("op"),
+            F.concat(F.lit("u"), (F.col("value") % 10).cast("string"))
+            .alias("conv_id"),
+            ((F.col("value") / 10) % 20).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit("msg-"), F.col("value").cast("string")).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("timestamp").alias("ts"),
+            F.col("timestamp").alias("event_ts"))
+
+    applier = make_batch_applier(table, "rate-sid", qdir, mode="mor",
+                                 compaction=CompactionPolicy(
+                                     max_delta_files=3, expire_keep_last=4),
+                                 transform=to_events)
+    q = (spark.readStream.format("rate")
+         .option("rowsPerSecond", "2000").load()
+         .writeStream.foreachBatch(applier)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="500 milliseconds")
+         .start())
+    deadline = time.time() + 90
+    try:
+        while time.time() < deadline and q.isActive:
+            epochs = table.current().committed_epochs.get("rate-sid", -1)
+            if epochs >= 6 and (table.stats()["max_lsn"] or 0) >= 2000:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # pacing delivered a continuous run of epochs and thousands of events
+    assert table.current().committed_epochs.get("rate-sid", -1) >= 6
+    assert (table.stats()["max_lsn"] or 0) >= 2000
+    # auto-maintenance kept the unbounded MOR stream bounded
+    pending = [f for f in table.current().files if f.bucket is None]
+    assert len(pending) <= 3
+    # LWW invariant holds mid-flow: one visible row per key (≤200 keys)
+    vis = read_state(table).groupBy("conv_id", "turn_idx").count()
+    assert vis.filter(F.col("count") > 1).count() == 0
+    assert read_state(table).count() <= 200
+    # quarantine received the malformed rows, per-epoch
+    qfiles = [d for d in os.listdir(qdir) if d.startswith("rate-sid-")]
+    assert qfiles
+    bad = spark.read.parquet(*[os.path.join(qdir, d) for d in qfiles])
+    assert bad.filter(F.col("op") == "X").count() > 0
+    # epoch gate: replaying an already-committed epoch is a no-op
+    from rockefeller_spark.merge import apply_batch
+    ep = max(table.current().committed_epochs.values())
+    res = apply_batch(table, gen.gen_change_events(spark, n_events=10,
+                                                   n_convs=2, seed=3),
+                      stream_id="rate-sid", epoch=ep, mode="mor")
+    assert res.skipped
