@@ -46,6 +46,13 @@ def main() -> None:
     ap.add_argument("--continuous", action="store_true")
     ap.add_argument("--max-files-per-trigger", type=int, default=64)
     ap.add_argument("--watermark", default="1 hour")
+    ap.add_argument("--no-maintenance", action="store_true",
+                    help="disable the per-batch CompactionPolicy (auto "
+                         "compact + snapshot expiry). Without it a MOR "
+                         "stream accumulates delta files without bound")
+    ap.add_argument("--compact-max-delta-files", type=int, default=8)
+    ap.add_argument("--compact-delta-fraction", type=float, default=0.25)
+    ap.add_argument("--expire-keep-last", type=int, default=8)
     args = ap.parse_args()
 
     # master/executors come from spark-submit; only engine confs set here
@@ -58,6 +65,15 @@ def main() -> None:
                                  n_buckets=args.n_buckets)
     metrics = MetricsLog(args.metrics) if args.metrics else None
 
+    policy = None
+    if not args.no_maintenance:
+        from rockefeller_spark.maintenance import CompactionPolicy
+        policy = CompactionPolicy(
+            max_delta_files=args.compact_max_delta_files,
+            max_delta_row_fraction=args.compact_delta_fraction,
+            expire_keep_last=args.expire_keep_last,
+            write_salt=args.write_salt)
+
     q = run_stream(spark, args.source, table, args.checkpoint,
                    available_now=not args.continuous,
                    max_files_per_trigger=(args.max_files_per_trigger
@@ -66,6 +82,7 @@ def main() -> None:
                    write_salt=args.write_salt,
                    mode=args.mode,
                    quarantine_dir=args.quarantine,
+                   compaction=policy,
                    metrics=metrics)
     q.awaitTermination()
 

@@ -1,0 +1,81 @@
+"""Predicate DML on lake tables: DELETE FROM / UPDATE ... WHERE.
+
+Both are expressed as CHANGE EVENTS fed back through the engine's own
+apply path (``merge.apply_batch``) rather than as a second write pipeline:
+a DELETE is a batch of tombstone events for the matching keys, an UPDATE a
+batch of upsert events carrying the new payload, both stamped one LSN past
+the table's high-water mark. That buys, for free, everything apply already
+guarantees — touched-bucket pruning (only buckets containing matches are
+rewritten), salted writes, atomic snapshot commit, LWW idempotence, and
+correctness on multi-version (pending MOR delta) tables — and it makes
+DML visible to :func:`feed.changes_between` consumers like any other
+change. (Iceberg's DELETE FROM/UPDATE are the same idea: predicate →
+row-level deletes → commit.)
+
+The reference mutates rows imperatively per entity
+(``/root/reference/scripts/verify.py:60-87``); here DML is one declarative
+batch through the MERGE path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rockefeller_spark import schema as S
+from rockefeller_spark.lake import LakeTable
+from rockefeller_spark.merge import ApplyResult, apply_batch, read_state
+
+
+def _next_lsn(table: LakeTable) -> int:
+    hwm = table.stats()["max_lsn"]
+    return (hwm if hwm is not None else -1) + 1
+
+
+def _as_events(rows: DataFrame, op: str, lsn: int) -> DataFrame:
+    """Wrap visible rows in the change-event envelope at a fixed LSN (each
+    key appears once per DML batch, so a shared LSN is unambiguous)."""
+    payload = [c for c in rows.columns]
+    return rows.select(
+        F.lit(lsn).cast("long").alias("lsn"),
+        F.lit(op).alias("op"),
+        *payload,
+        F.current_timestamp().alias("event_ts"))
+
+
+def delete_where(table: LakeTable, condition: Column, *,
+                 write_salt: int = 4, mode: str = "cow") -> ApplyResult:
+    """DELETE FROM table WHERE condition — tombstones the matching keys.
+
+    Scan side: one pruned read of the visible state to find matching keys
+    (predicates reach the parquet scan). Write side: exactly the apply
+    path — only the buckets containing matches are rewritten (``mode=
+    "mor"`` appends tombstone deltas instead, O(matches)). Tombstones
+    outrank every existing version (LSN = high-water mark + 1), so late
+    lower-LSN events cannot resurrect the rows."""
+    matches = read_state(table).filter(condition)
+    ev = _as_events(matches, "D", _next_lsn(table))
+    return apply_batch(table, ev, write_salt=write_salt, mode=mode)
+
+
+def update_where(table: LakeTable, condition: Column,
+                 set_exprs: dict[str, Column], *,
+                 write_salt: int = 4, mode: str = "cow") -> ApplyResult:
+    """UPDATE table SET col = expr, ... WHERE condition — rewrites the
+    matching rows' payload through the apply path (same pruning/commit
+    story as :func:`delete_where`). ``set_exprs`` maps payload column
+    names to expressions evaluated over the current row; key columns
+    cannot be assigned (that's a delete + insert, by design — same rule
+    as every MERGE engine)."""
+    bad = set(set_exprs) & set(S.KEY_COLS)
+    if bad:
+        raise ValueError(f"cannot UPDATE key columns {sorted(bad)}; "
+                         f"delete + re-insert instead")
+    unknown = set(set_exprs) - set(read_state(table).columns)
+    if unknown:
+        raise ValueError(f"unknown columns in SET: {sorted(unknown)}")
+    matches = read_state(table).filter(condition)
+    updated = matches.select(
+        *[set_exprs.get(c, F.col(c)).alias(c) for c in matches.columns])
+    ev = _as_events(updated, "U", _next_lsn(table))
+    return apply_batch(table, ev, write_salt=write_salt, mode=mode)

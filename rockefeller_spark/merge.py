@@ -229,15 +229,21 @@ def apply_batch(table: LakeTable, events: DataFrame, *,
                        buckets_touched=sorted(touched), rows_written=rows_written)
 
 
-def read_state(table: LakeTable, snapshot_id: int | None = None) -> DataFrame:
+def read_state(table: LakeTable, snapshot_id: int | None = None,
+               buckets: set[int] | None = None) -> DataFrame:
     """The visible table: stored rows minus tombstones minus engine columns.
     On a multi-version snapshot (merge-on-read deltas pending compaction)
     the read resolves last-writer-wins first — one map-side-combined
     max-``_lsn`` hash aggregation per key, the same skew-immune reduction
-    the apply path uses; single-version snapshots read as plain scans."""
+    the apply path uses; single-version snapshots read as plain scans.
+    ``buckets`` prunes the read to the named key buckets (delta rows of
+    other buckets are filtered at row level, mirroring the apply path)."""
     snap = table.snapshot(snapshot_id) if snapshot_id is not None else table.current()
     user_cols = [f.name for f in snap.schema.fields if f.name not in S.META_COLS]
-    df = table.read(snapshot_id)
+    df = table.read(snapshot_id, buckets=buckets)
+    if buckets is not None and snap.multi_version:
+        df = df.filter(bucket_expr(snap.bucket_col, snap.n_buckets)
+                       .isin(sorted(buckets)))
     if snap.multi_version:
         from rockefeller_spark.cdc import dedupe_lww
         df = dedupe_lww(df, order_col="_lsn")

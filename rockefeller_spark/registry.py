@@ -155,6 +155,157 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+_FEED_SCRATCH = os.path.join(tempfile.gettempdir(),
+                             f"rk-feed-scratch-{os.getpid()}")
+atexit.register(shutil.rmtree, _FEED_SCRATCH, True)
+
+
+def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC OUTPUT: the row-level change feed between two snapshots (Delta
+    CDF / Iceberg incremental-read analog) — the change stream is applied
+    in two halves by LSN, and the feed reports exactly the keys whose
+    visible value differs between snapshot 1 and snapshot 2, metadata-
+    pruned to the buckets whose file sets changed. Oracle: FULL OUTER
+    JOIN of the two window-SQL states."""
+    from rockefeller_spark.feed import changes_between
+    ev = events_as_changes(_t(spark, sf_dir, "events"))
+    cutoff = ev.agg(F.max("lsn")).collect()[0][0] // 2
+    shutil.rmtree(_FEED_SCRATCH, ignore_errors=True)
+    table = LakeTable.create(spark, os.path.join(_FEED_SCRATCH, "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=16)
+    apply_batch(table, ev.filter(F.col("lsn") <= cutoff),
+                stream_id="feed", epoch=0)
+    apply_batch(table, ev.filter(F.col("lsn") > cutoff),
+                stream_id="feed", epoch=1)
+    feed = changes_between(table, 1, 2)
+    # ts as epoch micros: delete rows carry NULL timestamps, and a
+    # nullable-timestamp column trips mixed-resolution NaT comparison
+    # quirks in pandas-based comparators; int64 is unambiguous
+    return feed.select("conv_id", "turn_idx", "_change", "role", "text",
+                       "tool", F.unix_micros(F.col("ts")).alias("ts_us"))
+
+
+SQL_CDC_CHANGE_FEED = """
+WITH ch AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type = 'click' THEN 'I' ELSE 'U' END AS op,
+         'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 20 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS role,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+         CAST(NULL AS VARCHAR) AS tool,
+         CASE WHEN event_type = 'error' THEN NULL ELSE ts END AS ts
+  FROM events),
+cutoff AS (SELECT MAX(lsn) // 2 AS c FROM ch),
+w1 AS (SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY lsn DESC) AS rn
+       FROM ch, cutoff WHERE lsn <= cutoff.c),
+s1 AS (SELECT conv_id, turn_idx, role, text, tool, ts
+       FROM w1 WHERE rn = 1 AND op <> 'D'),
+w2 AS (SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY lsn DESC) AS rn FROM ch),
+s2 AS (SELECT conv_id, turn_idx, role, text, tool, ts
+       FROM w2 WHERE rn = 1 AND op <> 'D')
+SELECT COALESCE(s2.conv_id, s1.conv_id) AS conv_id,
+       COALESCE(s2.turn_idx, s1.turn_idx) AS turn_idx,
+       CASE WHEN s1.conv_id IS NULL THEN 'insert'
+            WHEN s2.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS _change,
+       s2.role AS role, s2.text AS text, s2.tool AS tool,
+       epoch_us(s2.ts) AS ts_us
+FROM s1 FULL OUTER JOIN s2
+  ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+WHERE s1.conv_id IS NULL OR s2.conv_id IS NULL
+   OR s1.role IS DISTINCT FROM s2.role
+   OR s1.text IS DISTINCT FROM s2.text
+   OR s1.tool IS DISTINCT FROM s2.tool
+   OR s1.ts   IS DISTINCT FROM s2.ts
+"""
+
+
+def q_cdc_lsn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC audit: missing-LSN ranges in an event log with holes punched
+    in it (the at-least-once data-loss alarm). Small block width so the
+    cross-block gap path is exercised at sf scale too."""
+    from rockefeller_spark.feed import lsn_gaps
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.pmod(F.col("event_id"), F.lit(97)) >= 3)
+          .select(F.col("event_id").alias("lsn")))
+    return lsn_gaps(ev, block=512)
+
+
+SQL_CDC_LSN_GAPS = """
+WITH pres AS (SELECT DISTINCT event_id AS lsn FROM events
+              WHERE event_id % 97 >= 3),
+lagd AS (SELECT lsn, LAG(lsn) OVER (ORDER BY lsn) AS prev FROM pres)
+SELECT prev + 1 AS gap_start, lsn - 1 AS gap_end
+FROM lagd WHERE lsn - prev > 1
+"""
+
+
+_DML_SCRATCH = os.path.join(tempfile.gettempdir(),
+                            f"rk-dml-scratch-{os.getpid()}")
+atexit.register(shutil.rmtree, _DML_SCRATCH, True)
+
+
+def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE through the apply path (tombstone events at
+    HWM+1, touched-bucket rewrite only): final state after deleting every
+    conversation whose id ends in '7'. Oracle: the flagship window SQL
+    minus the predicate's rows."""
+    from rockefeller_spark.dml import delete_where
+    ev = events_as_changes(_t(spark, sf_dir, "events"))
+    shutil.rmtree(_DML_SCRATCH, ignore_errors=True)
+    table = LakeTable.create(spark, os.path.join(_DML_SCRATCH, "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=16)
+    apply_batch(table, ev, stream_id="dml", epoch=0)
+    delete_where(table, F.col("conv_id").endswith("7"))
+    return read_state(table)
+
+
+SQL_CDC_DELETE_WHERE = SQL_CDC_APPLY_FULL.rstrip() + """
+  AND conv_id NOT LIKE '%7'
+"""
+
+
+def q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE through the apply path (upsert events at HWM+1):
+    archive the role of every late turn. Oracle: flagship state with the
+    same CASE applied."""
+    from rockefeller_spark.dml import update_where
+    ev = events_as_changes(_t(spark, sf_dir, "events"))
+    scratch = os.path.join(_DML_SCRATCH, "t-upd")
+    shutil.rmtree(scratch, ignore_errors=True)
+    table = LakeTable.create(spark, scratch,
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=16)
+    apply_batch(table, ev, stream_id="dml-upd", epoch=0)
+    update_where(table, F.col("turn_idx") >= 15,
+                 {"role": F.lit("archived")})
+    return read_state(table)
+
+
+SQL_CDC_UPDATE_WHERE = """
+WITH ch AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type = 'click' THEN 'I' ELSE 'U' END AS op,
+         'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 20 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS role,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+         CAST(NULL AS VARCHAR) AS tool,
+         CASE WHEN event_type = 'error' THEN NULL ELSE ts END AS ts
+  FROM events),
+w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY lsn DESC) AS rn FROM ch)
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx >= 15 THEN 'archived' ELSE role END AS role,
+       text, tool, ts
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id",
                                             "event_type", "value")
@@ -1290,6 +1441,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_dedup": q_union_dedup,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    # CDC output surface + predicate DML
+    "cdc_change_feed": q_cdc_change_feed,
+    "cdc_lsn_gaps": q_cdc_lsn_gaps,
+    "cdc_delete_where": q_cdc_delete_where,
+    "cdc_update_where": q_cdc_update_where,
     # text pipeline
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_tokens": q_doc_tokens,
@@ -1338,6 +1494,10 @@ ORACLES: dict[str, str] = {
     "union_dedup": SQL_UNION_DEDUP,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
+    "cdc_change_feed": SQL_CDC_CHANGE_FEED,
+    "cdc_lsn_gaps": SQL_CDC_LSN_GAPS,
+    "cdc_delete_where": SQL_CDC_DELETE_WHERE,
+    "cdc_update_where": SQL_CDC_UPDATE_WHERE,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_tokens": SQL_DOC_TOKENS,
     "doc_lang_id": SQL_DOC_LANG_ID,

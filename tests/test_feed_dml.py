@@ -1,0 +1,165 @@
+"""CDC output surface (change feed, LSN gap audit) and predicate DML."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rockefeller_spark import gen
+from rockefeller_spark.dml import delete_where, update_where
+from rockefeller_spark.feed import changes_between, lsn_gaps
+from rockefeller_spark.lake import LakeTable
+from rockefeller_spark.merge import apply_batch, read_state
+from rockefeller_spark.oracle import replay
+from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"),
+                            STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+
+
+def _state(pdf_events):
+    return replay(pdf_events).set_index(["conv_id", "turn_idx"]).sort_index()
+
+
+def test_changes_between_matches_state_diff(spark, table):
+    ev = gen.gen_change_events(spark, n_events=1500, n_convs=12, seed=201,
+                               p_delete=0.2)
+    pdf = ev.toPandas()
+    half = int(pdf.lsn.max()) // 2
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn <= half], ev.schema))
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn > half], ev.schema))
+    got = changes_between(table, 1, 2).toPandas() \
+        .set_index(["conv_id", "turn_idx"]).sort_index()
+
+    s1, s2 = _state(pdf[pdf.lsn <= half]), _state(pdf)
+    want = {}
+    for k in s2.index.difference(s1.index):
+        want[k] = "insert"
+    for k in s1.index.difference(s2.index):
+        want[k] = "delete"
+    for k in s1.index.intersection(s2.index):
+        a, b = s1.loc[k], s2.loc[k]
+        if not a.equals(b):
+            want[k] = "update"
+    assert got["_change"].to_dict() == want
+    # new values carried for insert/update, nulls for delete
+    ins = got[got._change == "insert"]
+    if len(ins):
+        pd.testing.assert_frame_equal(
+            ins[s2.columns.tolist()], s2.loc[ins.index],
+            check_dtype=False, check_index_type=False)
+    dels = got[got._change == "delete"]
+    assert dels[["role", "text"]].isna().all().all()
+
+
+def test_changes_between_prunes_untouched_buckets(spark, table):
+    """A second batch touching ONE conversation must produce a feed whose
+    scan reads only that conversation's bucket at each snapshot — not the
+    whole table twice (file-level metadata diff)."""
+    ev = gen.gen_change_events(spark, n_events=2000, n_convs=20, seed=203)
+    pdf = ev.toPandas()
+    apply_batch(table, ev)
+    conv = pdf.conv_id.iloc[0]
+    upd = pdf[pdf.conv_id == conv].copy()
+    upd["lsn"] += 10_000_000
+    upd["text"] = "changed"
+    apply_batch(table, spark.createDataFrame(upd, ev.schema))
+    feed = changes_between(table, 1, 2)
+    out = feed.toPandas()
+    assert set(out.conv_id) == {conv}
+    assert (out._change == "update").any()
+    n_read = len(feed.inputFiles())
+    n_total = len(table.snapshot(1).files) + len(table.snapshot(2).files)
+    assert n_read < n_total / 2          # bucket pruning really happened
+
+
+def test_changes_between_metadata_only_commit_is_empty(spark, table):
+    ev = gen.gen_change_events(spark, n_events=300, n_convs=5, seed=207)
+    apply_batch(table, ev)
+    from pyspark.sql import types as T
+    table.evolve(T.StructType([T.StructField("extra", T.StringType(), True)]))
+    assert changes_between(table, 1, 2).count() == 0
+
+
+def test_lsn_gaps_exact_ranges(spark):
+    present = [0, 1, 2, 5, 6, 10, 995, 996, 1000, 1001, 1002, 2500, 3001]
+    df = spark.createDataFrame([(x,) for x in present], ["lsn"])
+    got = {(r.gap_start, r.gap_end)
+           for r in lsn_gaps(df, block=1000).collect()}
+    want = set()
+    for a, b in zip(present, present[1:]):
+        if b - a > 1:
+            want.add((a + 1, b - 1))
+    assert got == want                    # incl. cross-block + whole-block
+
+
+def test_delete_where_tombstones_and_resurrection_guard(spark, table):
+    ev = gen.gen_change_events(spark, n_events=1200, n_convs=10, seed=211)
+    pdf = ev.toPandas()
+    apply_batch(table, ev)
+    before = read_state(table).toPandas()
+    victims = {c for c in before.conv_id.unique() if c.endswith("3")}
+    res = delete_where(table, F.col("conv_id").endswith("3"))
+    assert not res.skipped
+    after = read_state(table).toPandas()
+    assert set(after.conv_id) == set(before.conv_id) - victims
+    assert len(after) == len(before[~before.conv_id.isin(victims)])
+    # late LOWER-LSN event for a deleted key must NOT resurrect it
+    late = pdf[pdf.conv_id.isin(victims)].head(5)
+    apply_batch(table, spark.createDataFrame(late, ev.schema))
+    assert not set(read_state(table).toPandas().conv_id) & victims
+    # the DML shows up in the change feed like any other change
+    feed = changes_between(table, 1, 2).toPandas()
+    assert set(feed._change) == {"delete"}
+    assert set(feed.conv_id) == victims
+
+
+def test_delete_where_prunes_buckets(spark, table):
+    ev = gen.gen_change_events(spark, n_events=2000, n_convs=20, seed=213)
+    apply_batch(table, ev)
+    one = read_state(table).limit(1).collect()[0]["conv_id"]
+    res = delete_where(table, F.col("conv_id") == one)
+    assert len(res.buckets_touched) < table.current().n_buckets
+
+
+def test_update_where_matches_pandas(spark, table):
+    ev = gen.gen_change_events(spark, n_events=1000, n_convs=8, seed=217)
+    apply_batch(table, ev)
+    before = read_state(table).toPandas()
+    update_where(table, F.col("turn_idx") >= 15,
+                 {"role": F.lit("archived"),
+                  "text": F.upper(F.col("text"))})
+    after = read_state(table).toPandas() \
+        .set_index(["conv_id", "turn_idx"]).sort_index()
+    want = before.set_index(["conv_id", "turn_idx"]).sort_index()
+    hit = want.index.get_level_values("turn_idx") >= 15
+    want.loc[hit, "role"] = "archived"
+    want.loc[hit, "text"] = want.loc[hit, "text"].str.upper()
+    pd.testing.assert_frame_equal(after[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+
+def test_update_where_rejects_key_and_unknown_columns(spark, table):
+    ev = gen.gen_change_events(spark, n_events=200, n_convs=3, seed=219)
+    apply_batch(table, ev)
+    with pytest.raises(ValueError, match="key columns"):
+        update_where(table, F.lit(True), {"conv_id": F.lit("x")})
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(table, F.lit(True), {"nope": F.lit("x")})
+
+
+def test_dml_on_multiversion_mor_table(spark, table):
+    """DML rides the apply path, so it works with pending MOR deltas too."""
+    ev = gen.gen_change_events(spark, n_events=900, n_convs=9, seed=223)
+    apply_batch(table, ev, mode="mor")
+    assert table.current().multi_version
+    delete_where(table, F.col("conv_id").endswith("1"), mode="mor")
+    after = read_state(table).toPandas()
+    assert not any(c.endswith("1") for c in after.conv_id.unique())
+    table.compact()
+    after2 = read_state(table).toPandas()
+    assert sorted(after2.conv_id.unique()) == sorted(after.conv_id.unique())
