@@ -37,6 +37,7 @@ from rockefeller_spark.session import get_spark
 
 HEADLINE_QUERIES = [
     "cdc_apply_full", "cdc_lww_latest", "cdc_high_water_marks",
+    "cdc_change_feed", "asof_join",
     "pricing_summary", "revenue_by_nation", "brand_revenue",
     "topk_orders_per_priority", "sessionize", "hourly_rollup",
     "doc_exact_dedup", "doc_minhash_pairs", "doc_simhash_pairs",

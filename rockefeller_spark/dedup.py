@@ -48,11 +48,21 @@ def _drop_heavy_groups(df: DataFrame, keys: list[str], max_size: int,
     """Degenerate-bucket defense: remove every (keys) group with more than
     ``max_size`` member rows from ``df`` before it feeds a self-join.
 
-    The heavy-group list is computed first (one map-side-combined count —
-    ``df`` should be persisted by the caller since it is scanned again by
-    the join) and the dropped volume is logged. The filter is a broadcast
-    anti-join when the list is small (the normal case: degenerate groups
-    are by definition rare), a plain anti-join otherwise.
+    The heavy-group list is computed up front — one hash aggregation over
+    ``df``, which the caller has persisted, so the audit's marginal cost
+    is a single pass over a cached id+hash table (it also warms the cache
+    the main query reuses), never a re-scan of the corpus text/vectors.
+    The dropped volume is logged, never silent. When NO group exceeds the
+    cap — the overwhelmingly common case — ``df`` is returned unchanged,
+    so the query plan carries no audit artifacts at all. When groups drop,
+    the filter is a broadcast anti-join for small lists, plain anti-join
+    otherwise.
+
+    (A fully-lazy variant — in-plan anti-join + an ``Observation`` for
+    the logging — was tried and reverted: the observed node lands on BOTH
+    sides of the candidate self-join, and Spark's relation deduplication
+    silently loses the duplicated CollectMetrics, so the log never fired
+    for some operators.)
     """
     sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     heavy = sizes.filter(F.col("_n") > max_size)
@@ -61,9 +71,9 @@ def _drop_heavy_groups(df: DataFrame, keys: list[str], max_size: int,
     if not stats["g"]:
         return df
     log.warning(
-        "%s: dropping %d degenerate group(s) holding %d rows (> %d members "
+        "%s: dropped %d degenerate group(s) holding %d rows (> %d members "
         "each) from the candidate join — pairs supported ONLY by these "
-        "groups will not be emitted (run exact dedup first to fold "
+        "groups are not emitted (run exact dedup first to fold "
         "identical-document clusters)",
         what, stats["g"], stats["rows"], max_size)
     rhs = heavy.select(*keys)

@@ -275,7 +275,8 @@ class LakeTable:
     # ------------------------------------------------------------- data files
     def _stage_write(self, df: DataFrame, n_buckets: int, bucket_col: str,
                      write_salt: int = 0, pre_bucketed: bool = False,
-                     span_buckets: bool = False) -> list[DataFile]:
+                     span_buckets: bool = False,
+                     sort_cols: list[str] | None = None) -> list[DataFile]:
         """Write ``df`` as Parquet under data/ and return the new DataFile
         entries (stats from Parquet footers, as Iceberg collects them at
         commit).
@@ -316,6 +317,13 @@ class LakeTable:
                     out = out.repartition(F.col("_bucket"), salt)
                 else:
                     out = out.repartition(F.col("_bucket"))
+            if sort_cols:
+                # key-clustered layout (Iceberg sort-order analog): rows
+                # sorted within each writer task → parquet row-group
+                # min/max stats on the key become selective, so a point
+                # lookup's pushed equality filter skips row groups inside
+                # the bucket's files, not just files
+                out = out.sortWithinPartitions("_bucket", *sort_cols)
             out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
             for dirname in sorted(os.listdir(stage)):
                 if not dirname.startswith("_bucket="):
@@ -445,7 +453,8 @@ class LakeTable:
 
     def compact(self, *, drop_tombstones: bool = True,
                 write_salt: int = 0,
-                buckets: set[int] | None = None) -> Snapshot:
+                buckets: set[int] | None = None,
+                sort_by_key: bool = True) -> Snapshot:
         """Maintenance: rewrite files into a compacted set, optionally
         dropping tombstones (safe once no event older than the table's
         high-water mark can still arrive — the operator's call).
@@ -462,6 +471,11 @@ class LakeTable:
         hold rows of every bucket and can't be rewritten bucket-wise —
         run a full ``compact()`` first to fold them in.
 
+        ``sort_by_key=True`` additionally clusters each rewritten file by
+        the bucket key (Iceberg sort-order compaction): row-group min/max
+        stats become selective, so point lookups skip row groups inside a
+        bucket's files, not just whole files.
+
         Time travel to pre-compaction snapshots still works (old files
         stay referenced by old metadata) until ``expire_snapshots``
         reclaims them."""
@@ -477,7 +491,9 @@ class LakeTable:
             df = dedupe_lww(df, order_col="_lsn")
         if drop_tombstones and "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted"))
-        adds = self._stage_write(df, snap.n_buckets, snap.bucket_col, write_salt)
+        adds = self._stage_write(
+            df, snap.n_buckets, snap.bucket_col, write_salt,
+            sort_cols=[snap.bucket_col] if sort_by_key else None)
         if buckets is None:
             remove = {f.path for f in snap.files}
         else:

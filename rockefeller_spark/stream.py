@@ -48,6 +48,26 @@ def stream_id_for(checkpoint_dir: str) -> str:
     return "wal-" + hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
 
 
+def json_value_transform(event_schema=None):
+    """Transform for Kafka-shaped sources: parse a binary/string ``value``
+    column (one JSON change event per record) into the typed change-event
+    shape. Usage with a real broker:
+
+        events = spark.readStream.format("kafka")...load()
+        applier = make_batch_applier(..., transform=json_value_transform())
+
+    Rows whose JSON fails to parse keep NULL envelope fields and are
+    routed to quarantine by the dead-letter splitter — a poison-pill
+    record can never abort the stream."""
+    schema = event_schema or S.CHANGE_EVENT_SCHEMA
+    def _tx(df: DataFrame) -> DataFrame:
+        parsed = df.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("_e"))
+        return parsed.select(*[F.col(f"_e.{f.name}").alias(f.name)
+                               for f in schema.fields])
+    return _tx
+
+
 def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
                        *, write_salt: int = 4, mode: str = "cow",
                        metrics: MetricsLog | None = None,

@@ -282,3 +282,25 @@ def test_driver_side_bucket_hash_pins_to_bucket_expr(spark):
     for r in rows:
         assert xxhash64(r["conv_id"].encode("utf-8")) == r["h"]
         assert key_bucket(r["conv_id"], 32) == r["b"]
+
+
+def test_compact_sorts_by_key_for_rowgroup_pruning(spark, table):
+    """sort_by_key compaction (Iceberg sort-order analog): every
+    compacted file holds key-sorted rows, so parquet row-group min/max
+    stats are selective for point-lookup pushdown."""
+    import pyarrow.parquet as pq
+    ev = gen.gen_change_events(spark, n_events=3000, n_convs=40, seed=229)
+    apply_batch(table, ev)
+    table.compact()                                  # sort_by_key default
+    checked = 0
+    for f in table.current().files:
+        vals = pq.read_table(os.path.join(table.path, f.path),
+                             columns=["conv_id"]).column("conv_id").to_pylist()
+        assert vals == sorted(vals)
+        checked += 1
+    assert checked > 0
+    # state is unchanged by the clustering
+    from rockefeller_spark.oracle import replay
+    got = read_state(table).toPandas()
+    want = replay(ev.toPandas())
+    assert len(got) == len(want)

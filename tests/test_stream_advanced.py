@@ -287,3 +287,30 @@ def test_rate_source_unbounded_trigger_loop(spark, tmp_path):
                                                    n_convs=2, seed=3),
                       stream_id="rate-sid", epoch=ep, mode="mor")
     assert res.skipped
+
+
+def test_json_value_transform_parses_and_poison_pills(spark, tmp_path):
+    """Kafka-shaped ingestion: JSON change events in a binary `value`
+    column parse into the typed shape; an unparseable record becomes an
+    all-null row that the dead-letter splitter quarantines instead of
+    aborting the stream."""
+    import json
+    import os
+    from rockefeller_spark.stream import (json_value_transform,
+                                          make_batch_applier)
+    table = LakeTable.create(spark, str(tmp_path / "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    qdir = str(tmp_path / "q")
+    good = {"lsn": 1, "op": "I", "conv_id": "c1", "turn_idx": 0,
+            "role": "user", "text": "hello", "tool": None,
+            "ts": "2024-01-01T00:00:00Z", "event_ts": "2024-01-01T00:00:00Z"}
+    rows = [(bytearray(json.dumps(good).encode()),),
+            (bytearray(b"{definitely not json"),)]
+    df = spark.createDataFrame(rows, "value binary")
+    applier = make_batch_applier(table, "kafka-sid", qdir,
+                                 transform=json_value_transform())
+    applier(df, 0)
+    state = read_state(table).toPandas()
+    assert len(state) == 1 and state.text.iloc[0] == "hello"
+    bad = spark.read.parquet(os.path.join(qdir, "kafka-sid-00000000"))
+    assert bad.count() == 1

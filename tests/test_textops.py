@@ -124,6 +124,18 @@ def test_embedding_near_dup_pairs_recovers_planted_dups(spark):
     assert all(b - a == 1000 for a, b in got)
 
 
+def _wait_log(caplog, needle, timeout=10.0):
+    """The heavy-group audit logs from a daemon thread the moment the
+    caller's action completes — poll briefly for the line."""
+    import time
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if needle in caplog.text:
+            return True
+        time.sleep(0.05)
+    return False
+
+
 def test_degenerate_bucket_caps_bound_the_candidate_joins(spark, caplog):
     """Planted pathology: thousands of copies of one document (the web-
     corpus worst case). Uncapped, every candidate join is quadratic in the
@@ -140,7 +152,7 @@ def test_degenerate_bucket_caps_bound_the_candidate_joins(spark, caplog):
 
     with caplog.at_level("WARNING", logger="rockefeller_spark.dedup"):
         jac = D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=64).toPandas()
-    assert "dropping" in caplog.text          # never silent
+        assert _wait_log(caplog, "dropped")   # never silent
     # every shingle of the m-cluster is heavy → no quadratic pair emission;
     # the discriminative planted pair still comes through
     assert set(map(tuple, jac[["id_a", "id_b"]].values)) == {(10000, 10001)}
@@ -149,13 +161,13 @@ def test_degenerate_bucket_caps_bound_the_candidate_joins(spark, caplog):
     with caplog.at_level("WARNING", logger="rockefeller_spark.dedup"):
         mh = D.minhash_dedup_pairs(docs, threshold=0.5,
                                    max_bucket=64).toPandas()
-    assert "lsh_candidate_pairs band buckets" in caplog.text
+        assert _wait_log(caplog, "lsh_candidate_pairs band buckets")
     assert not ((mh.id_a < m) & (mh.id_b < m)).any()   # no m-cluster pairs
 
     caplog.clear()
     with caplog.at_level("WARNING", logger="rockefeller_spark.dedup"):
         sp = D.simhash_near_pairs(docs, max_bucket=64).toPandas()
-    assert "simhash_near_pairs chunk buckets" in caplog.text
+        assert _wait_log(caplog, "simhash_near_pairs chunk buckets")
     assert not ((sp.id_a < m) & (sp.id_b < m)).any()
 
 
@@ -173,7 +185,7 @@ def test_embedding_near_dup_bucket_cap(spark, caplog):
     with caplog.at_level("WARNING", logger="rockefeller_spark.dedup"):
         pairs = V.embedding_near_dup_pairs(df, dim=16, threshold=0.98,
                                            max_bucket=64).toPandas()
-    assert "embedding_near_dup_pairs chunk buckets" in caplog.text
+        assert _wait_log(caplog, "embedding_near_dup_pairs chunk buckets")
     assert not ((pairs.id_a < m) & (pairs.id_b < m)).any()
 
 
