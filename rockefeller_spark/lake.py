@@ -372,7 +372,8 @@ class LakeTable:
                new_schema: T.StructType | None = None,
                lineage: dict[str, Any] | None = None,
                expected_version: int | None = None,
-               multi_version: bool | None = None) -> Snapshot:
+               multi_version: bool | None = None,
+               new_n_buckets: int | None = None) -> Snapshot:
         base_version = self.current_version()
         if expected_version is not None and base_version != expected_version:
             raise CommitConflictError(
@@ -386,7 +387,7 @@ class LakeTable:
             snapshot_id=base_version + 1,
             parent_id=base_version,
             schema=new_schema or base.schema,
-            n_buckets=base.n_buckets,
+            n_buckets=new_n_buckets or base.n_buckets,
             bucket_col=base.bucket_col,
             files=kept + adds,
             committed_epochs=epochs,
@@ -510,6 +511,67 @@ class LakeTable:
                                                 if buckets else "all")},
                            expected_version=snap.snapshot_id,
                            multi_version=False if buckets is None else None)
+
+    def rescale_buckets(self, new_n_buckets: int, *,
+                        write_salt: int = 0) -> Snapshot:
+        """Bucket-count evolution (Iceberg partition-spec evolution
+        analog): rewrite the table into ``new_n_buckets`` key buckets in
+        one atomic commit. This is the migration path when a table
+        outgrows its layout — a count sized for 10^8 rows starves
+        parallelism and pruning at 10^10 (each bucket 100× too big), and
+        the bucket count is baked into every file's name and pruning
+        stats, so growing it requires a rewrite.
+
+        One full-table pass (the same cost class as a full compact):
+        read → resolve pending MOR deltas if any → re-bucket → key-sorted
+        write. Snapshots record their own ``n_buckets``, so time travel
+        to pre-rescale snapshots keeps pruning correctly with the OLD
+        count; every subsequent apply/lookup uses the new one. At fleet
+        scale, run it bucket-range-at-a-time behind a maintenance window
+        — or create tables with generous counts up front (buckets cost
+        ~nothing while small: files stay one-per-bucket-per-batch only
+        after data arrives)."""
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        snap = self.current()
+        df = self.read()
+        if snap.multi_version:
+            from rockefeller_spark.cdc import dedupe_lww
+            df = dedupe_lww(df, order_col="_lsn")
+        adds = self._stage_write(df, new_n_buckets, snap.bucket_col,
+                                 write_salt, sort_cols=[snap.bucket_col])
+        return self.commit(adds, {f.path for f in snap.files},
+                           lineage={"op": "rescale_buckets",
+                                    "from": snap.n_buckets,
+                                    "to": new_n_buckets},
+                           expected_version=snap.snapshot_id,
+                           multi_version=False,
+                           new_n_buckets=new_n_buckets)
+
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Roll the table back to a previous snapshot's STATE as a new
+        commit (Iceberg rollback semantics): the new snapshot adopts the
+        target's file list, schema, bucket count — and its epoch ledger,
+        so change batches committed after the target are re-appliable on
+        redelivery (the CDC contract: rollback then replay). History is
+        preserved; the rolled-back snapshots stay time-travelable until
+        ``expire_snapshots`` reclaims them."""
+        base = self.current()
+        target = self.snapshot(snapshot_id)
+        snap = Snapshot(
+            snapshot_id=base.snapshot_id + 1,
+            parent_id=base.snapshot_id,
+            schema=target.schema,
+            n_buckets=target.n_buckets,
+            bucket_col=target.bucket_col,
+            files=list(target.files),
+            committed_epochs=dict(target.committed_epochs),
+            lineage={"op": "rollback", "to": snapshot_id},
+            timestamp_ms=int(time.time() * 1000),
+            multi_version=target.multi_version,
+        )
+        self._write_snapshot(snap)
+        return snap
 
     def lookup(self, key_value: str) -> DataFrame:
         """Point lookup: hash the key to its bucket DRIVER-SIDE (pure-

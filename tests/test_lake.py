@@ -304,3 +304,83 @@ def test_compact_sorts_by_key_for_rowgroup_pruning(spark, table):
     got = read_state(table).toPandas()
     want = replay(ev.toPandas())
     assert len(got) == len(want)
+
+
+def test_rescale_buckets_preserves_state_and_pruning(spark, table):
+    """Partition-spec evolution: grow 4 -> 16 buckets in one atomic
+    commit; state identical, applies/lookups/pruning use the new count,
+    pre-rescale snapshots time-travel with the OLD count."""
+    from rockefeller_spark.oracle import replay
+    ev = gen.gen_change_events(spark, n_events=2000, n_convs=20, seed=233)
+    pdf = ev.toPandas()
+    apply_batch(table, ev)
+    before = read_state(table).toPandas()
+    old_files = {f.path for f in table.current().files}
+
+    table.rescale_buckets(16)
+    snap = table.current()
+    assert snap.n_buckets == 16
+    assert {f.bucket for f in snap.files} <= set(range(16))
+    assert not ({f.path for f in snap.files} & old_files)   # full rewrite
+    after = read_state(table).toPandas()
+    assert before.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True) \
+        .equals(after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+    # a later apply prunes/buckets with the NEW count and stays correct
+    import pandas as pd
+    more = gen.gen_change_events(spark, n_events=400, n_convs=20, seed=233)
+    more = more.withColumn("lsn", F.col("lsn") + 10_000_000)
+    res = apply_batch(table, more)
+    assert max(res.buckets_touched) < 16
+    got = read_state(table).toPandas()
+    want = replay(pd.concat([pdf, more.toPandas()], ignore_index=True))
+    assert len(got) == len(want)
+
+    # point lookup hashes into the new bucket space
+    key = got.conv_id.iloc[0]
+    assert table.lookup(key).count() > 0
+    # pre-rescale time travel still reads with the old count
+    assert read_state(table, snapshot_id=1).count() == len(before)
+
+
+def test_rescale_buckets_resolves_pending_mor_deltas(spark, table):
+    ev = gen.gen_change_events(spark, n_events=900, n_convs=9, seed=239)
+    apply_batch(table, ev, mode="mor")
+    assert table.current().multi_version
+    n_visible = read_state(table).count()
+    table.rescale_buckets(8)
+    snap = table.current()
+    assert snap.n_buckets == 8 and not snap.multi_version
+    assert all(f.bucket is not None for f in snap.files)
+    assert read_state(table).count() == n_visible
+
+
+def test_rollback_restores_state_and_epoch_ledger(spark, table):
+    """Rollback = new commit adopting the target's files AND epochs, so
+    redelivered post-target batches re-apply (rollback-then-replay)."""
+    ev = gen.gen_change_events(spark, n_events=1000, n_convs=10, seed=241)
+    pdf = ev.toPandas()
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn < 500], ev.schema),
+                stream_id="s", epoch=0)
+    good = read_state(table).toPandas()
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn >= 500], ev.schema),
+                stream_id="s", epoch=1)
+    assert table.epoch_committed("s", 1)
+
+    table.rollback(1)
+    assert table.current_version() == 3                 # history preserved
+    rolled = read_state(table).toPandas()
+    assert good.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True) \
+        .equals(rolled.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    # epoch ledger rolled back too: the undone batch re-applies on replay
+    assert not table.epoch_committed("s", 1)
+    res = apply_batch(table, spark.createDataFrame(pdf[pdf.lsn >= 500],
+                                                   ev.schema),
+                      stream_id="s", epoch=1)
+    assert not res.skipped
+    from rockefeller_spark.oracle import replay
+    final = read_state(table).toPandas()
+    want = replay(pdf)
+    assert len(final) == len(want)
+    # the bad snapshot (v2) stays time-travelable until expiry
+    assert read_state(table, snapshot_id=2).count() == len(want)
