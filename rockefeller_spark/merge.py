@@ -41,7 +41,8 @@ from pyspark.sql import types as T
 
 from rockefeller_spark import schema as S
 from rockefeller_spark.cdc import winners_to_stored
-from rockefeller_spark.lake import LakeTable, Snapshot, bucket_expr
+from rockefeller_spark.lake import (CommitConflictError, LakeTable, Snapshot,
+                                    bucket_expr)
 from rockefeller_spark.normalize import normalize_columns
 
 
@@ -68,6 +69,33 @@ def _evolved_schema(table_schema: T.StructType, events: DataFrame) -> T.StructTy
 
 
 def apply_batch(table: LakeTable, events: DataFrame, *,
+                stream_id: str | None = None, epoch: int | None = None,
+                write_salt: int = 4, collect_metrics: bool = True,
+                mode: str = "cow", retries: int = 0) -> ApplyResult:
+    """Apply one micro-batch with optimistic-concurrency retry. The merge
+    computes against the snapshot current at its start and commits with
+    ``expected_version``; if another writer (a concurrent compact, DML
+    statement, or second stream) lands first, the commit raises
+    :class:`CommitConflictError` and — with ``retries`` > 0 — the WHOLE
+    apply re-runs against the new snapshot. Recomputing is mandatory for
+    correctness (the CoW merge result depends on the target state; the
+    epoch gate is also re-checked, so a replayed epoch that the competing
+    writer just committed turns into a skip). A losing attempt's staged
+    files become orphans behind ``expire_snapshots``'s grace window.
+    Single-writer deployments keep ``retries=0`` (fail fast). See
+    :func:`_apply_once` for the apply algorithm itself."""
+    for attempt in range(max(retries, 0) + 1):
+        try:
+            return _apply_once(table, events, stream_id=stream_id,
+                               epoch=epoch, write_salt=write_salt,
+                               collect_metrics=collect_metrics, mode=mode)
+        except CommitConflictError:
+            if attempt == max(retries, 0):
+                raise
+    raise AssertionError("unreachable")
+
+
+def _apply_once(table: LakeTable, events: DataFrame, *,
                 stream_id: str | None = None, epoch: int | None = None,
                 write_salt: int = 4, collect_metrics: bool = True,
                 mode: str = "cow") -> ApplyResult:

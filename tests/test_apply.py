@@ -124,3 +124,50 @@ def test_file_pruning_small_batch_touches_few_files(spark, table):
     for f in table.current().files:
         if f.bucket != touched_bucket:
             assert f.path in files_before
+
+
+def test_apply_retries_recompute_after_concurrent_commit(spark, tmp_path):
+    """Optimistic concurrency: a competing writer lands between the
+    apply's snapshot read and its commit. retries=0 fails fast; with a
+    retry budget the apply recomputes against the NEW snapshot and the
+    final state reflects BOTH writers (LWW across their LSNs)."""
+    from rockefeller_spark.lake import CommitConflictError, LakeTable
+    from rockefeller_spark.oracle import replay
+    from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
+    import pandas as pd
+
+    table = LakeTable.create(spark, str(tmp_path / "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=800, n_convs=8, seed=251)
+    pdf = ev.toPandas()
+    mine = spark.createDataFrame(pdf[pdf.lsn % 2 == 0], ev.schema)
+    theirs = spark.createDataFrame(pdf[pdf.lsn % 2 == 1], ev.schema)
+
+    # inject the competing commit exactly once, at my commit point
+    real_commit = table.commit
+    injected = {"done": False}
+
+    def racing_commit(*args, **kwargs):
+        if not injected["done"]:
+            injected["done"] = True
+            other = LakeTable(spark, table.path)
+            apply_batch(other, theirs)          # the other writer wins
+        return real_commit(*args, **kwargs)
+
+    table.commit = racing_commit
+    with pytest.raises(CommitConflictError):
+        apply_batch(table, mine)                # fail-fast default
+    # the losing attempt changed nothing
+    assert table.current().snapshot_id == 1
+
+    injected["done"] = False                    # race fires again
+    res = apply_batch(table, mine, retries=2)   # attempt 1 loses, retry wins
+    assert not res.skipped
+    assert injected["done"]
+    table.commit = real_commit
+    got = read_state(table).toPandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = replay(pdf).sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
