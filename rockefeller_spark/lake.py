@@ -276,7 +276,8 @@ class LakeTable:
     def _stage_write(self, df: DataFrame, n_buckets: int, bucket_col: str,
                      write_salt: int = 0, pre_bucketed: bool = False,
                      span_buckets: bool = False,
-                     sort_cols: list[str] | None = None) -> list[DataFile]:
+                     sort_cols: list[str] | None = None,
+                     salt_counts: dict[int, int] | None = None) -> list[DataFile]:
         """Write ``df`` as Parquet under data/ and return the new DataFile
         entries (stats from Parquet footers, as Iceberg collects them at
         commit).
@@ -309,6 +310,31 @@ class LakeTable:
         else:
             if pre_bucketed:
                 out = df
+            elif salt_counts is not None:
+                # size-targeted layout: bucket b splits over salt_counts[b]
+                # writer tasks (a tiny broadcast bucket→k map — per-bucket
+                # fan-out, unlike the uniform write_salt, so small buckets
+                # stay one file while big ones split to the target size)
+                kdf = self.spark.createDataFrame(
+                    [(int(b), int(k)) for b, k in salt_counts.items()],
+                    "_bucket int, _k int")
+                vary = (F.xxhash64(F.col("turn_idx"))
+                        if "turn_idx" in df.columns
+                        else (F.rand() * 1e9).cast("long"))
+                # PINNED partition count: AQE honors an explicit N (an
+                # unpinned repartition gets its tiny (bucket, salt) groups
+                # coalesced back together, undoing the fan-out); 2x the
+                # group count keeps hash collisions (two groups → one
+                # task → one double-size file) rare
+                n_parts = max(2 * sum(salt_counts.values()),
+                              self.spark.sparkContext.defaultParallelism)
+                out = (df.withColumn("_bucket",
+                                     bucket_expr(bucket_col, n_buckets))
+                       .join(F.broadcast(kdf), "_bucket", "left")
+                       .na.fill({"_k": 1})
+                       .withColumn("_fsalt", F.pmod(vary, F.col("_k")))
+                       .repartition(n_parts, F.col("_bucket"), F.col("_fsalt"))
+                       .drop("_k", "_fsalt"))
             else:
                 out = df.withColumn("_bucket", bucket_expr(bucket_col, n_buckets))
                 if write_salt > 1:
@@ -455,7 +481,8 @@ class LakeTable:
     def compact(self, *, drop_tombstones: bool = True,
                 write_salt: int = 0,
                 buckets: set[int] | None = None,
-                sort_by_key: bool = True) -> Snapshot:
+                sort_by_key: bool = True,
+                target_rows_per_file: int | None = None) -> Snapshot:
         """Maintenance: rewrite files into a compacted set, optionally
         dropping tombstones (safe once no event older than the table's
         high-water mark can still arrive — the operator's call).
@@ -477,6 +504,13 @@ class LakeTable:
         stats become selective, so point lookups skip row groups inside a
         bucket's files, not just whole files.
 
+        ``target_rows_per_file`` bounds output FILE sizes (Iceberg's
+        ``write.target-file-size`` analog): per-bucket row counts come
+        from snapshot METADATA (no extra job), each bucket fans out over
+        ``ceil(rows/target)`` writer tasks via a tiny broadcast map — so
+        at 10^10 rows a hot bucket compacts to many bounded files instead
+        of one multi-GB one, while small buckets stay single-file.
+
         Time travel to pre-compaction snapshots still works (old files
         stay referenced by old metadata) until ``expire_snapshots``
         reclaims them."""
@@ -492,9 +526,25 @@ class LakeTable:
             df = dedupe_lww(df, order_col="_lsn")
         if drop_tombstones and "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted"))
+        salt_counts: dict[int, int] | None = None
+        if target_rows_per_file is not None:
+            # per-bucket sizing from footer stats; bucket-spanning delta
+            # rows (bucket unknown until rewrite) are attributed uniformly
+            per_bucket: dict[int, int] = {}
+            delta_rows = 0
+            for f in snap.files:
+                if f.bucket is None:
+                    delta_rows += f.rows
+                else:
+                    per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + f.rows
+            spread = delta_rows // max(snap.n_buckets, 1)
+            salt_counts = {
+                b: max(1, -(-(r + spread) // target_rows_per_file))
+                for b, r in per_bucket.items()}
         adds = self._stage_write(
             df, snap.n_buckets, snap.bucket_col, write_salt,
-            sort_cols=[snap.bucket_col] if sort_by_key else None)
+            sort_cols=[snap.bucket_col] if sort_by_key else None,
+            salt_counts=salt_counts)
         if buckets is None:
             remove = {f.path for f in snap.files}
         else:

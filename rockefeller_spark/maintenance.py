@@ -50,6 +50,9 @@ class CompactionPolicy:
     orphan_grace_s: float = 3600.0
     drop_tombstones: bool = False
     write_salt: int = 0
+    # bound compacted FILE sizes (Iceberg write.target-file-size analog);
+    # None keeps one file per bucket per compaction task
+    target_rows_per_file: int | None = None
 
 
 def maintain(table: LakeTable, policy: CompactionPolicy) -> dict[str, Any]:
@@ -68,7 +71,8 @@ def maintain(table: LakeTable, policy: CompactionPolicy) -> dict[str, Any]:
             len(delta_files) > policy.max_delta_files
             or delta_rows > policy.max_delta_row_fraction * max(total_rows, 1)):
         table.compact(drop_tombstones=policy.drop_tombstones,
-                      write_salt=policy.write_salt)
+                      write_salt=policy.write_salt,
+                      target_rows_per_file=policy.target_rows_per_file)
         actions["full_compact"] = True
     elif not snap.multi_version:
         # incremental: rewrite only the worst-fragmented buckets
@@ -78,7 +82,8 @@ def maintain(table: LakeTable, policy: CompactionPolicy) -> dict[str, Any]:
         if frag:
             table.compact(buckets=set(frag),
                           drop_tombstones=policy.drop_tombstones,
-                          write_salt=policy.write_salt)
+                          write_salt=policy.write_salt,
+                          target_rows_per_file=policy.target_rows_per_file)
             actions["bucket_compacts"] = sorted(frag)
 
     if policy.expire_keep_last is not None:

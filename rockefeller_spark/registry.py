@@ -256,8 +256,9 @@ def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus the predicate's rows."""
     from rockefeller_spark.dml import delete_where
     ev = events_as_changes(_t(spark, sf_dir, "events"))
-    shutil.rmtree(_DML_SCRATCH, ignore_errors=True)
-    table = LakeTable.create(spark, os.path.join(_DML_SCRATCH, "t"),
+    scratch = os.path.join(_DML_SCRATCH, "t-del")   # own subdir: never
+    shutil.rmtree(scratch, ignore_errors=True)      # clobber t-upd's table
+    table = LakeTable.create(spark, scratch,
                              STORED_TRANSCRIPT_SCHEMA, n_buckets=16)
     apply_batch(table, ev, stream_id="dml", epoch=0)
     delete_where(table, F.col("conv_id").endswith("7"))

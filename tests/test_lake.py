@@ -384,3 +384,30 @@ def test_rollback_restores_state_and_epoch_ledger(spark, table):
     assert len(final) == len(want)
     # the bad snapshot (v2) stays time-travelable until expiry
     assert read_state(table, snapshot_id=2).count() == len(want)
+
+
+def test_compact_target_file_size_bounds_files(spark, table):
+    """Size-targeted compaction: per-bucket fan-out from metadata row
+    counts — no bucket compacts into one oversized file, small buckets
+    stay single-file, state is preserved."""
+    ev = gen.gen_change_events(spark, n_events=6000, n_convs=30,
+                               max_turns=50, seed=251)
+    apply_batch(table, ev)
+    table.compact(target_rows_per_file=150)
+    snap = table.current()
+    from collections import defaultdict
+    per_bucket = defaultdict(list)
+    for f in snap.files:
+        per_bucket[f.bucket].append(f.rows)
+    for b, sizes in per_bucket.items():
+        want_files = max(1, -(-sum(sizes) // 150))
+        # fan-out close to the target (hash imbalance tolerance)
+        assert len(sizes) >= max(1, want_files // 2)
+        assert max(sizes) <= 150 * 3
+    n_files_sized = len(snap.files)
+    assert n_files_sized > table.current().n_buckets   # real splitting
+    # plain compact collapses back to one file per bucket
+    table.compact()
+    assert len(table.current().files) <= table.current().n_buckets
+    from rockefeller_spark.oracle import replay
+    assert read_state(table).count() == len(replay(ev.toPandas()))
