@@ -725,6 +725,56 @@ FROM events WHERE user_id < 5
 """
 
 
+def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution aggregates (the OLAP percentile family): p25 /
+    median / p90 of value per event type, linear interpolation — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the definition, so
+    the oracle checks values exactly. At scale this is one hash
+    aggregation; swap in approx_percentile (t-digest) when a sketch
+    suffices — semantics then diverge by engine, which is why the checked
+    entry uses the exact form."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+                 F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_EVENT_QUANTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.90), 6) AS p90,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_moving_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window (event-time, not row-count): per user,
+    the decimal-exact sum of value over the trailing hour. The range
+    frame is the shape rows-frames can't express (irregular event
+    spacing); partitions are per-user so no global sort task."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("timestamp_ltz").cast("long"))
+         .rangeBetween(-3600, 0))
+    return (ev.select("user_id", "event_id",
+                      F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+                      .cast("double").alias("mov_sum_1h")))
+
+
+SQL_MOVING_VALUE_SUM = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS mov_sum_1h
+FROM events
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join in the SKEW-SAFE chunked shape (per-(key,
     time-chunk) carry-forward + tiny per-key boundary window — a hot key
@@ -1442,6 +1492,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_dedup": q_union_dedup,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "event_quantiles": q_event_quantiles,
+    "moving_value_sum": q_moving_value_sum,
     # CDC output surface + predicate DML
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_lsn_gaps": q_cdc_lsn_gaps,
@@ -1495,6 +1547,8 @@ ORACLES: dict[str, str] = {
     "union_dedup": SQL_UNION_DEDUP,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
+    "event_quantiles": SQL_EVENT_QUANTILES,
+    "moving_value_sum": SQL_MOVING_VALUE_SUM,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_lsn_gaps": SQL_CDC_LSN_GAPS,
     "cdc_delete_where": SQL_CDC_DELETE_WHERE,
