@@ -1122,6 +1122,34 @@ est AS (
 SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
 
+def q_doc_lev_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance VERIFY tier on LSH candidates — the tiered shape
+    every scale dedup pipeline uses: cheap banded candidate generation
+    (never all-pairs), expensive exact scoring (levenshtein is O(len²)
+    per pair) only on survivors. Oracle: the identical portable MinHash
+    banding + DuckDB's levenshtein (same classic edit distance)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_dedup_pairs(docs, n_hashes=32, n_bands=8,
+                                  threshold=0.5, portable=True)
+    ta = docs.select(F.col("doc_id").alias("id_a"),
+                     F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"),
+                     F.col("text").alias("_tb"))
+    return (pairs.join(ta, "id_a").join(tb, "id_b")
+            .select("id_a", "id_b",
+                    F.levenshtein("_ta", "_tb").alias("edit_distance")))
+
+
+# same CTE pipeline as the minhash oracle, with a levenshtein verify leaf
+SQL_DOC_LEV_VERIFY = SQL_DOC_MINHASH_PAIRS.replace(
+    "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5",
+    """, pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5)
+SELECT p.id_a, p.id_b, levenshtein(a.text, b.text) AS edit_distance
+FROM pairs p JOIN documents a ON a.doc_id = p.id_a
+             JOIN documents b ON b.doc_id = p.id_b""")
+assert "levenshtein" in SQL_DOC_LEV_VERIFY
+
+
 _SIMHASH_BIT_SUMS = ",\n".join(
     f"    SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
     for b in range(60))
@@ -1508,6 +1536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash_pairs": q_doc_simhash_pairs,
+    "doc_lev_verify": q_doc_lev_verify,
     # similarity search
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_centroid_assign": q_emb_centroid_assign,
@@ -1561,6 +1590,7 @@ ORACLES: dict[str, str] = {
     "doc_dedup_clusters": SQL_DOC_DEDUP_CLUSTERS,
     "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
     "doc_simhash_pairs": SQL_DOC_SIMHASH_PAIRS,
+    "doc_lev_verify": SQL_DOC_LEV_VERIFY,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_centroid_assign": SQL_EMB_CENTROID_ASSIGN,
     "emb_ivf_topk": SQL_EMB_IVF_TOPK,
