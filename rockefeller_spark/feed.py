@@ -84,6 +84,21 @@ def changes_between(table: LakeTable, from_snapshot_id: int,
                     *[F.col(f"_new.{c}").alias(c) for c in payload]))
 
 
+def changes_since(table: LakeTable,
+                  last_snapshot_id: int) -> tuple[DataFrame, int]:
+    """Cursor-style incremental consumption: the change feed from a
+    downstream consumer's last-seen snapshot to the table's CURRENT one,
+    plus the new cursor value. The consumer persists the returned cursor
+    only after successfully processing the feed — re-running from the old
+    cursor replays the same (deterministic) feed, so consumption is
+    at-least-once with idempotent replays, matching the engine's own
+    delivery contract. Expired cursors (older than ``expire_snapshots``'s
+    retention) raise cleanly — re-bootstrap the consumer from a full
+    read in that case."""
+    current = table.current_version()
+    return changes_between(table, last_snapshot_id, current), current
+
+
 def lsn_gaps(events: DataFrame, lsn_col: str = "lsn",
              block: int = 1_000_000) -> DataFrame:
     """Missing-LSN ranges ``(gap_start, gap_end)`` in an event log — every
