@@ -1,0 +1,112 @@
+"""Metadata-commit cost curve: monolithic file-list JSON (the round-3
+design) vs manifest-sharded snapshots (round 4), at 10^4 / 10^5 / 10^6
+DataFile entries.
+
+What is measured per table size F (driver-side, no Spark):
+
+- ``monolithic_commit_sec``: serialize + fsync ALL F file entries into one
+  snapshot JSON — what every commit paid before sharding, O(F) per commit.
+- ``sharded_commit_sec``: a real ``LakeTable.commit`` of a 1-bucket change
+  (1 add + 1 remove) against a table whose manifests already hold F
+  entries — rewrites ONE shard (~F/n_shards entries) + the manifest list.
+- ``sharded_cold_load_sec``: full ``snapshot().files`` materialization from
+  disk with a cold cache (readers still pay O(F) once per process; commits
+  no longer do).
+
+Run:  python bench/metadata.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rockefeller_spark.lake import DataFile, LakeTable, Snapshot  # noqa: E402
+from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA  # noqa: E402
+
+N_BUCKETS = 4096
+
+
+def synth_files(n: int) -> list[DataFile]:
+    return [DataFile(f"data/{i:032x}-b{i % N_BUCKETS:05d}.parquet",
+                     i % N_BUCKETS, 100_000, i * 10, i * 10 + 9)
+            for i in range(n)]
+
+
+def bench_monolithic(files: list[DataFile], tmp: str) -> float:
+    """The round-3 commit bill: one JSON with every DataFile, fsynced."""
+    payload = {"format_version": 1, "snapshot_id": 1, "parent_id": 0,
+               "files": [f.to_json() for f in files]}
+    path = os.path.join(tmp, "mono.json")
+    t0 = time.perf_counter()
+    with open(path, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    wall = time.perf_counter() - t0
+    size = os.path.getsize(path)
+    os.remove(path)
+    return wall, size
+
+
+def main() -> None:
+    out = {}
+    for n in (10_000, 100_000, 1_000_000):
+        tmp = tempfile.mkdtemp(prefix="rk-metabench-")
+        try:
+            files = synth_files(n)
+            mono_wall, mono_bytes = bench_monolithic(files, tmp)
+
+            # a real sharded table seeded with n files (seed commit cost is
+            # excluded; it is the one-time backfill, not the steady state)
+            table = LakeTable.__new__(LakeTable)
+            table.spark = None
+            table.path = os.path.join(tmp, "t")
+            table.data_dir = os.path.join(table.path, "data")
+            table.meta_dir = os.path.join(table.path, "metadata")
+            table._manifest_cache = {}
+            os.makedirs(table.meta_dir)
+            manifests = table._shard_all(files, N_BUCKETS)
+            snap = Snapshot(0, None, STORED_TRANSCRIPT_SCHEMA, N_BUCKETS,
+                            "conv_id", manifests=manifests,
+                            loader=table._load_manifest)
+            table._write_snapshot(snap)
+
+            # steady-state commit: 1 bucket changes (1 add, 1 remove)
+            add = DataFile(f"data/{'f'*32}-b00000.parquet", 0, 100, 1, 2)
+            rm = {files[0].path}
+            t0 = time.perf_counter()
+            table.commit([add], rm)
+            sharded_wall = time.perf_counter() - t0
+
+            # reader cold-load (fresh cache, fresh Snapshot)
+            table._manifest_cache = {}
+            t0 = time.perf_counter()
+            nfiles = len(table.snapshot(table.current_version()).files)
+            cold_wall = time.perf_counter() - t0
+            assert nfiles == n
+
+            list_bytes = os.path.getsize(table._meta_path(1))
+            out[n] = {
+                "monolithic_commit_sec": round(mono_wall, 4),
+                "monolithic_bytes": mono_bytes,
+                "sharded_commit_sec": round(sharded_wall, 4),
+                "manifest_list_bytes": list_bytes,
+                "sharded_cold_load_sec": round(cold_wall, 4),
+                "speedup": round(mono_wall / sharded_wall, 1),
+            }
+            print(f"F={n}: {out[n]}")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"bench": "metadata_commit_cost", "n_buckets": N_BUCKETS,
+                      "results": {str(k): v for k, v in out.items()}}))
+
+
+if __name__ == "__main__":
+    main()

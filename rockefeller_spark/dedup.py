@@ -23,6 +23,7 @@ All pure `pyspark.sql.functions` higher-order expressions — zero UDFs.
 from __future__ import annotations
 
 import logging
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -41,6 +42,45 @@ log = logging.getLogger("rockefeller_spark.dedup")
 # registry oracles bake the same constant, so capped and uncapped runs are
 # value-checked either way.
 DEFAULT_MAX_GROUP = 1000
+
+# Persisted intermediates (signatures, band tables) registered per top-level
+# sketch call. Each NEW top-level call releases the previous call's caches
+# first, so a long-lived session (bench loop, notebook) holds at most one
+# corpus-run's cached blocks instead of accumulating until eviction
+# pressure; `release_caches()` frees the last run's too. Nested calls
+# (e.g. minhash_dedup_pairs → lsh_candidate_pairs) share one scope.
+_LIVE_CACHES: list[DataFrame] = []
+_SCOPE_OPEN = False
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate cached by the most recent sketch call."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:       # session already stopped: nothing to free
+            pass
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+@contextmanager
+def _cache_scope():
+    global _SCOPE_OPEN
+    if _SCOPE_OPEN:             # nested sketch call: caller owns the scope
+        yield
+        return
+    release_caches()
+    _SCOPE_OPEN = True
+    try:
+        yield
+    finally:
+        _SCOPE_OPEN = False
 
 
 def _drop_heavy_groups(df: DataFrame, keys: list[str], max_size: int,
@@ -156,28 +196,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     the Jaccard is over discriminative shingles only. Dropped volume is
     logged; ``max_df=None`` disables the cap.
     """
-    # sh feeds three subtrees (sizes + both join sides) → persist so the
-    # shingling runs once, not 3× (ids+hashes only; tiny vs the text)
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"))
-          .select("id", F.md5(F.col("s")).alias("h"))
-          .persist())
-    if max_df is not None:
-        sh = _drop_heavy_groups(sh, ["h"], max_df,
-                                "ngram_jaccard_pairs shingle posting lists")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
-              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-              .agg(F.count(F.lit(1)).alias("common")))
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
-    return (common.join(na, "id_a").join(nb, "id_b")
-            .withColumn("jaccard", F.round(
-                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    with _cache_scope():
+        # sh feeds three subtrees (sizes + both join sides) → persist so the
+        # shingling runs once, not 3× (ids+hashes only; tiny vs the text)
+        sh = _cache(
+            df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"))
+            .select("id", F.md5(F.col("s")).alias("h")))
+        if max_df is not None:
+            sh = _drop_heavy_groups(sh, ["h"], max_df,
+                                    "ngram_jaccard_pairs shingle posting lists")
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+                  .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+                  .agg(F.count(F.lit(1)).alias("common")))
+        na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+        nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+        return (common.join(na, "id_a").join(nb, "id_b")
+                .withColumn("jaccard", F.round(
+                    F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
 
 
 # --------------------------------------------------------------- minhash
@@ -240,22 +281,23 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = 8,
                          b * (F.size(F.col("sig")) / n_bands).cast("int") + 1,
                          (F.size(F.col("sig")) / n_bands).cast("int")))
         return F.md5(joined) if portable else F.xxhash64(joined).cast("string")
-    bands = (sigs.select(
-        "id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)), bucket))
-        .alias("band", "bucket")))
-    if max_bucket is not None:
-        bands = bands.persist()   # scanned by the size count + both join sides
-        bands = _drop_heavy_groups(bands, ["band", "bucket"], max_bucket,
-                                   "lsh_candidate_pairs band buckets")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
+    with _cache_scope():
+        bands = (sigs.select(
+            "id",
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)), bucket))
+            .alias("band", "bucket")))
+        if max_bucket is not None:
+            bands = _cache(bands)  # size count + both join sides scan it
+            bands = _drop_heavy_groups(bands, ["band", "bucket"], max_bucket,
+                                       "lsh_candidate_pairs band buckets")
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+                .distinct())
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
@@ -274,19 +316,20 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     consumer (4 scans; measured 3.5× the wall of this query at sf0.1). At
     fleet scale the same move is writing the signatures to a table once and
     reusing them across dedup runs."""
-    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes,
-                              portable=portable).persist()
-    cands = lsh_candidate_pairs(sigs, n_bands, portable=portable,
-                                max_bucket=max_bucket)
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
-                                      lambda x, y: x == y), lambda v: v))
-           / F.size(F.col("sig_a")))
-    return (cands.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("est_jaccard", F.round(est, 6))
-            .filter(F.col("est_jaccard") >= threshold)
-            .select("id_a", "id_b", "est_jaccard"))
+    with _cache_scope():
+        sigs = _cache(minhash_signatures(df, text_col, id_col, k, n_hashes,
+                                         portable=portable))
+        cands = lsh_candidate_pairs(sigs, n_bands, portable=portable,
+                                    max_bucket=max_bucket)
+        sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                                          lambda x, y: x == y), lambda v: v))
+               / F.size(F.col("sig_a")))
+        return (cands.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("est_jaccard", F.round(est, 6))
+                .filter(F.col("est_jaccard") >= threshold)
+                .select("id_a", "id_b", "est_jaccard"))
 
 
 # ------------------------------------------------------------- clustering
@@ -391,22 +434,24 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     ``max_bucket`` drops degenerate (band, chunk) buckets — an m-sized
     identical-document cluster shares all 4 chunks and would emit 4·m²/2
     candidate rows (logged; ``None`` disables)."""
-    sh = simhash60(df, text_col, id_col, portable=portable).persist()
-    chunks = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1))
-        for i in range(4)])
-    banded = sh.select("id", "simhash", F.posexplode(chunks).alias("band", "chunk"))
-    if max_bucket is not None:
-        banded = banded.persist()
-        banded = _drop_heavy_groups(banded, ["band", "chunk"], max_bucket,
-                                    "simhash_near_pairs chunk buckets")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .filter(ham <= max_hamming)
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    ham.alias("hamming"))
-            .distinct())
+    with _cache_scope():
+        sh = _cache(simhash60(df, text_col, id_col, portable=portable))
+        chunks = F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1))
+            for i in range(4)])
+        banded = sh.select("id", "simhash",
+                           F.posexplode(chunks).alias("band", "chunk"))
+        if max_bucket is not None:
+            banded = _cache(banded)
+            banded = _drop_heavy_groups(banded, ["band", "chunk"], max_bucket,
+                                        "simhash_near_pairs chunk buckets")
+        a = banded.alias("a")
+        b = banded.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.chunk") == F.col("b.chunk"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .filter(ham <= max_hamming)
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                        ham.alias("hamming"))
+                .distinct())

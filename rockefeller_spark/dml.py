@@ -44,7 +44,8 @@ def _as_events(rows: DataFrame, op: str, lsn: int) -> DataFrame:
 
 
 def delete_where(table: LakeTable, condition: Column, *,
-                 write_salt: int = 4, mode: str = "cow") -> ApplyResult:
+                 write_salt: int = 4, mode: str = "cow",
+                 retries: int = 0) -> ApplyResult:
     """DELETE FROM table WHERE condition — tombstones the matching keys.
 
     Scan side: one pruned read of the visible state to find matching keys
@@ -52,21 +53,30 @@ def delete_where(table: LakeTable, condition: Column, *,
     path — only the buckets containing matches are rewritten (``mode=
     "mor"`` appends tombstone deltas instead, O(matches)). Tombstones
     outrank every existing version (LSN = high-water mark + 1), so late
-    lower-LSN events cannot resurrect the rows."""
-    matches = read_state(table).filter(condition)
-    ev = _as_events(matches, "D", _next_lsn(table))
-    return apply_batch(table, ev, write_salt=write_salt, mode=mode)
+    lower-LSN events cannot resurrect the rows.
+
+    The event batch is built by a FACTORY the apply path re-invokes per
+    recompute attempt, so under ``retries`` > 0 a conflicting concurrent
+    commit gets a FRESH matched-row set and a fresh high-water-mark LSN —
+    the tombstones-outrank-everything guarantee holds on every attempt,
+    not just the first."""
+    def make() -> DataFrame:
+        matches = read_state(table).filter(condition)
+        return _as_events(matches, "D", _next_lsn(table))
+    return apply_batch(table, make, write_salt=write_salt, mode=mode,
+                       retries=retries)
 
 
 def update_where(table: LakeTable, condition: Column,
                  set_exprs: dict[str, Column], *,
-                 write_salt: int = 4, mode: str = "cow") -> ApplyResult:
+                 write_salt: int = 4, mode: str = "cow",
+                 retries: int = 0) -> ApplyResult:
     """UPDATE table SET col = expr, ... WHERE condition — rewrites the
-    matching rows' payload through the apply path (same pruning/commit
-    story as :func:`delete_where`). ``set_exprs`` maps payload column
-    names to expressions evaluated over the current row; key columns
-    cannot be assigned (that's a delete + insert, by design — same rule
-    as every MERGE engine)."""
+    matching rows' payload through the apply path (same pruning/commit/
+    fresh-LSN-per-attempt story as :func:`delete_where`). ``set_exprs``
+    maps payload column names to expressions evaluated over the current
+    row; key columns cannot be assigned (that's a delete + insert, by
+    design — same rule as every MERGE engine)."""
     bad = set(set_exprs) & set(S.KEY_COLS)
     if bad:
         raise ValueError(f"cannot UPDATE key columns {sorted(bad)}; "
@@ -74,8 +84,11 @@ def update_where(table: LakeTable, condition: Column,
     unknown = set(set_exprs) - set(read_state(table).columns)
     if unknown:
         raise ValueError(f"unknown columns in SET: {sorted(unknown)}")
-    matches = read_state(table).filter(condition)
-    updated = matches.select(
-        *[set_exprs.get(c, F.col(c)).alias(c) for c in matches.columns])
-    ev = _as_events(updated, "U", _next_lsn(table))
-    return apply_batch(table, ev, write_salt=write_salt, mode=mode)
+
+    def make() -> DataFrame:
+        matches = read_state(table).filter(condition)
+        updated = matches.select(
+            *[set_exprs.get(c, F.col(c)).alias(c) for c in matches.columns])
+        return _as_events(updated, "U", _next_lsn(table))
+    return apply_batch(table, make, write_salt=write_salt, mode=mode,
+                       retries=retries)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rockefeller_spark import schema as S
-from rockefeller_spark.lake import LakeTable
+from rockefeller_spark.lake import LakeTable, changed_buckets
 from rockefeller_spark.merge import read_state
 
 
@@ -36,26 +36,20 @@ def changes_between(table: LakeTable, from_snapshot_id: int,
     ``(key cols, _change ∈ insert|update|delete, new payload cols — null
     for deletes)``.
 
-    Scale shape: both snapshots' file lists come from metadata; buckets
-    whose file sets are identical are pruned before any read (immutable
-    files ⇒ identical bytes ⇒ identical state). A small CoW batch that
-    touched 3 of 4096 buckets yields a feed that reads 3 buckets twice,
-    not the table twice. Bucket-spanning MOR delta files defeat the
-    pruning (any bucket may have changed) — compact before cutting cheap
-    feeds, which is what the maintenance policy does anyway.
+    Scale shape: both snapshots' metadata is compared at MANIFEST-SHARD
+    granularity first (untouched shards share their manifest file by
+    path — zero I/O to skip them), then changed shards' file-set diff
+    yields the changed buckets; only those are read (immutable files ⇒
+    identical bytes ⇒ identical state). A small CoW batch that touched 3
+    of 4096 buckets yields a feed that reads 3 buckets twice, not the
+    table twice. Bucket-spanning MOR delta files carry their touched-
+    bucket set (stamped at append time), so pruning SURVIVES a pending
+    delta trickle — only an unannotated delta (unknown reach) falls back
+    to a full double read.
     """
     s_from = table.snapshot(from_snapshot_id)
     s_to = table.snapshot(to_snapshot_id)
-    from_paths = {f.path for f in s_from.files}
-    to_paths = {f.path for f in s_to.files}
-    changed = from_paths.symmetric_difference(to_paths)
-    buckets: set[int] | None = set()
-    for f in list(s_from.files) + list(s_to.files):
-        if f.path in changed:
-            if f.bucket is None:        # MOR delta spans buckets: no pruning
-                buckets = None
-                break
-            buckets.add(f.bucket)
+    buckets = changed_buckets(s_from, s_to)
     # note: an empty `buckets` set (identical file sets — metadata-only
     # commits) flows through read_state as a zero-file read → empty feed
     old = read_state(table, from_snapshot_id, buckets=buckets)
@@ -85,16 +79,26 @@ def changes_between(table: LakeTable, from_snapshot_id: int,
 
 
 def changes_since(table: LakeTable,
-                  last_snapshot_id: int) -> tuple[DataFrame, int]:
+                  last_snapshot_id: int | None = None, *,
+                  timestamp: "int | float | None" = None
+                  ) -> tuple[DataFrame, int]:
     """Cursor-style incremental consumption: the change feed from a
-    downstream consumer's last-seen snapshot to the table's CURRENT one,
-    plus the new cursor value. The consumer persists the returned cursor
-    only after successfully processing the feed — re-running from the old
-    cursor replays the same (deterministic) feed, so consumption is
-    at-least-once with idempotent replays, matching the engine's own
-    delivery contract. Expired cursors (older than ``expire_snapshots``'s
-    retention) raise cleanly — re-bootstrap the consumer from a full
-    read in that case."""
+    downstream consumer's last-seen position to the table's CURRENT
+    snapshot, plus the new cursor value. The position is either a
+    snapshot id or (``timestamp=``, epoch millis/seconds — Delta's
+    ``startingTimestamp`` analog) — a timestamp resolves to the snapshot
+    current AT that moment via :meth:`LakeTable.snapshot_as_of`, so "give
+    me everything since 14:00" needs no cursor bookkeeping. The consumer
+    persists the returned cursor only after successfully processing the
+    feed — re-running from the old cursor replays the same
+    (deterministic) feed, so consumption is at-least-once with idempotent
+    replays, matching the engine's own delivery contract. Expired cursors
+    (older than ``expire_snapshots``'s retention) raise cleanly —
+    re-bootstrap the consumer from a full read in that case."""
+    if (last_snapshot_id is None) == (timestamp is None):
+        raise ValueError("pass exactly one of last_snapshot_id, timestamp")
+    if timestamp is not None:
+        last_snapshot_id = table.snapshot_as_of(timestamp).snapshot_id
     current = table.current_version()
     return changes_between(table, last_snapshot_id, current), current
 

@@ -34,12 +34,15 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
-from typing import Any
+from contextlib import contextmanager
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Any, Callable
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +50,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 HINT_FILE = "version-hint.text"
+MAINT_LOCK = ".maint.lock"
+# bucket-spanning merge-on-read delta files live in a dedicated shard
+DELTA_SHARD = -1
 
 
 class CommitConflictError(RuntimeError):
@@ -61,43 +67,127 @@ class DataFile:
     rows: int
     min_lsn: int | None = None
     max_lsn: int | None = None
+    # For bucket-spanning MOR delta files (bucket=None): the set of key
+    # buckets the file's rows may belong to, recorded at append time from
+    # the batch's touched-bucket index. Lets reads / the change feed keep
+    # pruning under a delta trickle instead of scanning every delta for
+    # every bucket. None = unknown (may span all buckets).
+    buckets: list[int] | None = None
 
     def to_json(self) -> dict[str, Any]:
-        return {"path": self.path, "bucket": self.bucket, "rows": self.rows,
-                "min_lsn": self.min_lsn, "max_lsn": self.max_lsn}
+        d: dict[str, Any] = {"path": self.path, "bucket": self.bucket,
+                             "rows": self.rows, "min_lsn": self.min_lsn,
+                             "max_lsn": self.max_lsn}
+        if self.buckets is not None:
+            d["buckets"] = self.buckets
+        return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "DataFile":
         return DataFile(d["path"], d.get("bucket"), d["rows"],
-                        d.get("min_lsn"), d.get("max_lsn"))
+                        d.get("min_lsn"), d.get("max_lsn"),
+                        d.get("buckets"))
 
 
 @dataclass
-class Snapshot:
-    snapshot_id: int
-    parent_id: int | None
-    schema: T.StructType
-    n_buckets: int
-    bucket_col: str
-    files: list[DataFile]
-    committed_epochs: dict[str, int] = field(default_factory=dict)
-    lineage: dict[str, Any] = field(default_factory=dict)
-    timestamp_ms: int = 0
-    # True when merge-on-read deltas were appended since the last full
-    # resolve: a key may have MULTIPLE stored versions and readers must
-    # reduce by max _lsn (read_state does). Copy-on-write commits and
-    # compaction keep/restore single-version state (False).
-    multi_version: bool = False
+class ManifestEntry:
+    """One immutable manifest file (a shard of the table's file list) as
+    referenced from a snapshot: path + aggregate stats, Iceberg
+    manifest-list analog. Untouched shards carry the SAME entry (same
+    path) from snapshot to snapshot, so a commit serializes only the
+    shards it changed — O(batch + files/shard), not O(total files)."""
+    path: str          # relative to table root, metadata/m-*.json
+    shard: int         # DELTA_SHARD for the bucket-spanning delta shard
+    n_files: int
+    rows: int
+    min_lsn: int | None = None
+    max_lsn: int | None = None
 
     def to_json(self) -> dict[str, Any]:
+        return {"path": self.path, "shard": self.shard,
+                "n_files": self.n_files, "rows": self.rows,
+                "min_lsn": self.min_lsn, "max_lsn": self.max_lsn}
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "ManifestEntry":
+        return ManifestEntry(d["path"], d["shard"], d["n_files"], d["rows"],
+                             d.get("min_lsn"), d.get("max_lsn"))
+
+
+def n_shards_for(n_buckets: int) -> int:
+    """Manifest shard count for a bucket count: enough shards that one
+    shard's rewrite stays small, few enough that the manifest LIST in the
+    snapshot stays tiny. 32 shards at 4096 buckets = 128 buckets/shard."""
+    return max(1, min(32, n_buckets))
+
+
+def shard_of(bucket: int | None, n_buckets: int, n_shards: int) -> int:
+    """Contiguous bucket-range sharding (bucket b -> shard b*S//B)."""
+    if bucket is None:
+        return DELTA_SHARD
+    return bucket * n_shards // n_buckets
+
+
+class Snapshot:
+    """One committed table version. The serialized form (format_version 2)
+    holds a MANIFEST LIST — small, O(n_shards) — not the file list; the
+    per-shard manifest files hold the ``DataFile`` entries and are
+    immutable + content-addressed, so unchanged shards are shared across
+    snapshots byte-identically (Iceberg's manifest reuse). ``files`` is a
+    lazily-materialized view loaded through the owning table's manifest
+    cache."""
+
+    def __init__(self, snapshot_id: int, parent_id: int | None,
+                 schema: T.StructType, n_buckets: int, bucket_col: str,
+                 files: list[DataFile] | None = None,
+                 committed_epochs: dict[str, int] | None = None,
+                 lineage: dict[str, Any] | None = None,
+                 timestamp_ms: int = 0,
+                 multi_version: bool = False, *,
+                 manifests: list[ManifestEntry] | None = None,
+                 loader: Callable[[str], list[DataFile]] | None = None):
+        self.snapshot_id = snapshot_id
+        self.parent_id = parent_id
+        self.schema = schema
+        self.n_buckets = n_buckets
+        self.bucket_col = bucket_col
+        self.committed_epochs = dict(committed_epochs or {})
+        self.lineage = dict(lineage or {})
+        self.timestamp_ms = timestamp_ms
+        # True when merge-on-read deltas were appended since the last full
+        # resolve: a key may have MULTIPLE stored versions and readers must
+        # reduce by max _lsn (read_state does). Copy-on-write commits and
+        # compaction keep/restore single-version state (False).
+        self.multi_version = multi_version
+        self._files: list[DataFile] | None = (
+            list(files) if files is not None else None)
+        self.manifests = manifests
+        self._loader = loader
+
+    @property
+    def files(self) -> list[DataFile]:
+        if self._files is None:
+            if self.manifests is None or self._loader is None:
+                raise RuntimeError(
+                    f"snapshot v{self.snapshot_id} has neither materialized "
+                    f"files nor a manifest loader")
+            self._files = [f for e in self.manifests
+                           for f in self._loader(e.path)]
+        return self._files
+
+    def to_json(self) -> dict[str, Any]:
+        if self.manifests is None:
+            raise RuntimeError(
+                "snapshot has no manifests; commit through LakeTable so the "
+                "file list is sharded into manifest files first")
         return {
-            "format_version": 1,
+            "format_version": 2,
             "snapshot_id": self.snapshot_id,
             "parent_id": self.parent_id,
             "schema": json.loads(self.schema.json()),
             "n_buckets": self.n_buckets,
             "bucket_col": self.bucket_col,
-            "files": [f.to_json() for f in self.files],
+            "manifests": [e.to_json() for e in self.manifests],
             "committed_epochs": self.committed_epochs,
             "lineage": self.lineage,
             "timestamp_ms": self.timestamp_ms,
@@ -105,19 +195,56 @@ class Snapshot:
         }
 
     @staticmethod
-    def from_json(d: dict[str, Any]) -> "Snapshot":
+    def from_json(d: dict[str, Any],
+                  loader: Callable[[str], list[DataFile]] | None = None
+                  ) -> "Snapshot":
         return Snapshot(
             snapshot_id=d["snapshot_id"],
             parent_id=d.get("parent_id"),
             schema=T.StructType.fromJson(d["schema"]),
             n_buckets=d["n_buckets"],
             bucket_col=d.get("bucket_col", "conv_id"),
-            files=[DataFile.from_json(f) for f in d["files"]],
+            files=([DataFile.from_json(f) for f in d["files"]]
+                   if "files" in d else None),
             committed_epochs=dict(d.get("committed_epochs", {})),
             lineage=d.get("lineage", {}),
             timestamp_ms=d.get("timestamp_ms", 0),
             multi_version=d.get("multi_version", False),
+            manifests=[ManifestEntry.from_json(e)
+                       for e in d.get("manifests", [])] if "manifests" in d
+                      else None,
+            loader=loader,
         )
+
+
+def changed_buckets(a: Snapshot, b: Snapshot) -> set[int] | None:
+    """Buckets whose file sets differ between two snapshots of the SAME
+    bucket layout — computed from metadata only, loading ONLY the manifest
+    shards whose entries differ (untouched shards share entries
+    byte-identically, so they are skipped without I/O). Returns None when
+    a changed bucket-spanning delta file carries no touched-bucket set
+    (unknown reach = every bucket may have changed). Used by the change
+    feed's pruning and by commit rebase's disjointness check."""
+    if (a.manifests is None or b.manifests is None
+            or a._loader is None or b._loader is None):
+        pa, pb = {f.path: f for f in a.files}, {f.path: f for f in b.files}
+    else:
+        ea = {e.path for e in a.manifests}
+        eb = {e.path for e in b.manifests}
+        pa = {f.path: f for e in a.manifests if e.path not in eb
+              for f in a._loader(e.path)}            # type: ignore[misc]
+        pb = {f.path: f for e in b.manifests if e.path not in ea
+              for f in b._loader(e.path)}            # type: ignore[misc]
+    out: set[int] = set()
+    for path in set(pa) ^ set(pb):
+        f = pa.get(path) or pb[path]
+        if f.bucket is not None:
+            out.add(f.bucket)
+        elif f.buckets is not None:
+            out.update(f.buckets)
+        else:
+            return None
+    return out
 
 
 def bucket_expr(col: str, n_buckets: int):
@@ -197,6 +324,10 @@ class LakeTable:
         self.path = os.path.abspath(path)
         self.data_dir = os.path.join(self.path, "data")
         self.meta_dir = os.path.join(self.path, "metadata")
+        # manifest files are immutable once committed, so caching by path
+        # is safe across versions; the cache makes repeated snapshot()/
+        # history() walks O(changed shards) I/O instead of O(table)
+        self._manifest_cache: dict[str, list[DataFile]] = {}
 
     # ---------------------------------------------------------------- setup
     @classmethod
@@ -236,12 +367,114 @@ class LakeTable:
     def snapshot(self, version: int) -> Snapshot:
         try:
             with open(self._meta_path(version)) as fh:
-                return Snapshot.from_json(json.load(fh))
+                return Snapshot.from_json(json.load(fh),
+                                          loader=self._load_manifest)
         except FileNotFoundError:
             raise ValueError(
                 f"snapshot v{version} does not exist (never committed, or "
                 f"expired by expire_snapshots); available: "
                 f"{[s.snapshot_id for s in self.history()]}") from None
+
+    def snapshot_as_of(self, ts: "int | float | datetime") -> Snapshot:
+        """Timestamp time travel: the latest snapshot committed at or
+        before ``ts`` (a datetime, or an epoch number — values ≥ 10^11
+        read as milliseconds, below as seconds, unambiguous for any date
+        between 1973 and 5138 — Delta's ``timestampAsOf`` / Iceberg's
+        ``snapshot_id_as_of_timestamp`` analog). Raises cleanly when the
+        timestamp predates every RETAINED snapshot (earlier history was
+        reclaimed by ``expire_snapshots`` — re-bootstrap from a full read,
+        same contract as an expired cursor)."""
+        if isinstance(ts, datetime):
+            ms = int(ts.timestamp() * 1000)
+        else:
+            ms = int(ts) if ts >= 1e11 else int(ts * 1000)
+        cands = [s for s in self.history() if s.timestamp_ms <= ms]
+        if not cands:
+            earliest = min((s.timestamp_ms for s in self.history()),
+                           default=None)
+            raise ValueError(
+                f"no snapshot at or before timestamp_ms={ms} (earliest "
+                f"retained: {earliest}; earlier history may have been "
+                f"expired by expire_snapshots)")
+        return max(cands, key=lambda s: s.snapshot_id)
+
+    # ------------------------------------------------------------- manifests
+    def _load_manifest(self, rel_path: str) -> list[DataFile]:
+        files = self._manifest_cache.get(rel_path)
+        if files is None:
+            with open(os.path.join(self.path, rel_path)) as fh:
+                files = [DataFile.from_json(f)
+                         for f in json.load(fh)["files"]]
+            self._manifest_cache[rel_path] = files
+        return files
+
+    def _write_manifest(self, files: list[DataFile], shard: int) -> ManifestEntry:
+        rel = os.path.join("metadata", f"m-{uuid.uuid4().hex}.json")
+        fd = os.open(os.path.join(self.path, rel),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"format_version": 1,
+                       "files": [f.to_json() for f in files]}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        self._manifest_cache[rel] = list(files)
+        lsns = [f.min_lsn for f in files if f.min_lsn is not None]
+        lsnx = [f.max_lsn for f in files if f.max_lsn is not None]
+        return ManifestEntry(rel, shard, len(files),
+                             sum(f.rows for f in files),
+                             min(lsns) if lsns else None,
+                             max(lsnx) if lsnx else None)
+
+    def _shard_all(self, files: list[DataFile], n_buckets: int
+                   ) -> list[ManifestEntry]:
+        """Full reshard: write every shard's manifest fresh (table create,
+        bucket rescale — operations that rewrite everything anyway)."""
+        ns = n_shards_for(n_buckets)
+        by_shard: dict[int, list[DataFile]] = {}
+        for f in files:
+            by_shard.setdefault(shard_of(f.bucket, n_buckets, ns), []).append(f)
+        return [self._write_manifest(fs, s)
+                for s, fs in sorted(by_shard.items())]
+
+    @staticmethod
+    def _path_bucket(path: str) -> int | None:
+        """A data file's bucket, recovered from its name (``_stage_write``
+        pins it there: ``-b{bucket:05d}.parquet`` / ``-delta.parquet``) —
+        lets a commit locate a removed file's manifest shard without
+        loading any untouched manifest."""
+        name = os.path.basename(path)
+        if name.endswith("-delta.parquet"):
+            return None
+        m = re.search(r"-b(\d{5})\.parquet$", name)
+        if m is None:
+            raise ValueError(f"data file name carries no bucket: {path}")
+        return int(m.group(1))
+
+    def _rebuild_manifests(self, base: Snapshot, adds: list[DataFile],
+                           remove_paths: set[str]) -> list[ManifestEntry]:
+        """The incremental-commit core: carry every untouched shard's
+        manifest entry forward VERBATIM (no load, no serialize) and
+        rewrite only shards that gained or lost files. Commit metadata
+        cost is O(adds + removes + files-in-touched-shards + n_shards),
+        independent of total table file count."""
+        ns = n_shards_for(base.n_buckets)
+        add_by_shard: dict[int, list[DataFile]] = {}
+        for f in adds:
+            add_by_shard.setdefault(
+                shard_of(f.bucket, base.n_buckets, ns), []).append(f)
+        touched = set(add_by_shard)
+        touched.update(shard_of(self._path_bucket(p), base.n_buckets, ns)
+                       for p in remove_paths)
+        base_entries = base.manifests or []
+        out = [e for e in base_entries if e.shard not in touched]
+        for shard in sorted(touched):
+            files = [f for e in base_entries if e.shard == shard
+                     for f in self._load_manifest(e.path)
+                     if f.path not in remove_paths]
+            files.extend(add_by_shard.get(shard, []))
+            if files:
+                out.append(self._write_manifest(files, shard))
+        return out
 
     def history(self) -> list[Snapshot]:
         """All snapshots still on disk, oldest first. After
@@ -254,8 +487,18 @@ class LakeTable:
 
     def _write_snapshot(self, snap: Snapshot) -> None:
         """The commit point. Exclusive-create of the metadata file wins the
-        version race; the hint swap is a single atomic rename."""
+        version race; the hint swap is a single atomic rename. Manifest
+        files are written BEFORE this (by ``commit``); a crash or a lost
+        race leaves them as ignorable orphans behind the grace window,
+        exactly like staged data files."""
         meta_path = self._meta_path(snap.snapshot_id)
+        if snap.manifests is None:
+            # direct-construction path (create(), tests): shard everything.
+            # Cheap pre-check so a doomed commit writes no orphan manifests.
+            if os.path.exists(meta_path):
+                raise CommitConflictError(
+                    f"snapshot {snap.snapshot_id} already committed")
+            snap.manifests = self._shard_all(snap.files, snap.n_buckets)
         try:
             fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError as e:
@@ -318,9 +561,12 @@ class LakeTable:
                 kdf = self.spark.createDataFrame(
                     [(int(b), int(k)) for b, k in salt_counts.items()],
                     "_bucket int, _k int")
-                vary = (F.xxhash64(F.col("turn_idx"))
-                        if "turn_idx" in df.columns
-                        else (F.rand() * 1e9).cast("long"))
+                # variance source for the per-bucket file-salt: hash of ALL
+                # row columns — schema-agnostic (not tied to the transcript
+                # layout) and deterministic, so a retry of the same plan
+                # reproduces the same file assignment
+                vary = F.xxhash64(*[F.col(c) for c in df.columns
+                                    if c not in ("_bucket", "_salt")])
                 # PINNED partition count: AQE honors an explicit N (an
                 # unpinned repartition gets its tiny (bucket, salt) groups
                 # coalesced back together, undoing the fan-out); 2x the
@@ -338,8 +584,11 @@ class LakeTable:
             else:
                 out = df.withColumn("_bucket", bucket_expr(bucket_col, n_buckets))
                 if write_salt > 1:
-                    salt = F.pmod(F.xxhash64(F.col("turn_idx") if "turn_idx" in df.columns
-                                             else F.rand()), F.lit(write_salt))
+                    # deterministic all-column hash (see salt_counts note)
+                    salt = F.pmod(
+                        F.xxhash64(*[F.col(c) for c in df.columns
+                                     if c not in ("_bucket", "_salt")]),
+                        F.lit(write_salt))
                     out = out.repartition(F.col("_bucket"), salt)
                 else:
                     out = out.repartition(F.col("_bucket"))
@@ -405,7 +654,17 @@ class LakeTable:
             raise CommitConflictError(
                 f"table moved: expected v{expected_version}, found v{base_version}")
         base = self.snapshot(base_version)
-        kept = [f for f in base.files if f.path not in remove_paths]
+        if new_n_buckets and new_n_buckets != base.n_buckets:
+            # bucket-count evolution invalidates the shard mapping: full
+            # reshard (the caller — rescale_buckets — rewrote all data
+            # files anyway, so this is not the hot path)
+            kept = [f for f in base.files if f.path not in remove_paths]
+            manifests = self._shard_all(kept + adds, new_n_buckets)
+        elif base.manifests is not None:
+            manifests = self._rebuild_manifests(base, adds, remove_paths)
+        else:
+            kept = [f for f in base.files if f.path not in remove_paths]
+            manifests = self._shard_all(kept + adds, base.n_buckets)
         epochs = dict(base.committed_epochs)
         if stream_id is not None and epoch is not None:
             epochs[stream_id] = max(epoch, epochs.get(stream_id, -1))
@@ -415,12 +674,13 @@ class LakeTable:
             schema=new_schema or base.schema,
             n_buckets=new_n_buckets or base.n_buckets,
             bucket_col=base.bucket_col,
-            files=kept + adds,
             committed_epochs=epochs,
             lineage=lineage or {},
             timestamp_ms=int(time.time() * 1000),
             multi_version=(base.multi_version if multi_version is None
                            else multi_version),
+            manifests=manifests,
+            loader=self._load_manifest,
         )
         self._write_snapshot(snap)
         return snap
@@ -461,18 +721,30 @@ class LakeTable:
 
     # ------------------------------------------------------------------ reads
     def read(self, snapshot_id: int | None = None,
-             buckets: set[int] | None = None) -> DataFrame:
+             buckets: set[int] | None = None, *,
+             as_of: "int | float | datetime | None" = None) -> DataFrame:
         """Snapshot-pinned read. Old files lacking newer (evolved) columns
         are null-filled because the read uses the snapshot's full schema.
         ``buckets`` prunes to the named key buckets via file stats — no
         scan of untouched BUCKETED files ever happens; bucket-spanning
-        merge-on-read delta files (bucket=None) are always included, since
-        they may hold rows of any bucket — compaction re-buckets them and
-        restores full pruning."""
-        snap = self.snapshot(snapshot_id) if snapshot_id is not None else self.current()
+        merge-on-read delta files (bucket=None) are included only when
+        their recorded touched-bucket set (``DataFile.buckets``, stamped
+        at append time) intersects — an unannotated delta is always
+        included. ``as_of`` reads the snapshot current at that timestamp
+        (:meth:`snapshot_as_of`) instead of by id."""
+        if as_of is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or as_of, not both")
+            snap = self.snapshot_as_of(as_of)
+        else:
+            snap = (self.snapshot(snapshot_id) if snapshot_id is not None
+                    else self.current())
         files = snap.files
         if buckets is not None:
-            files = [f for f in files if f.bucket is None or f.bucket in buckets]
+            files = [f for f in files
+                     if (f.bucket in buckets if f.bucket is not None
+                         else (f.buckets is None
+                               or not buckets.isdisjoint(f.buckets)))]
         if not files:
             return self.spark.createDataFrame([], snap.schema)
         paths = [os.path.join(self.path, f.path) for f in files]
@@ -598,30 +870,85 @@ class LakeTable:
                            multi_version=False,
                            new_n_buckets=new_n_buckets)
 
+    @contextmanager
+    def _maintenance_lock(self, timeout_s: float = 60.0,
+                          stale_s: float = 600.0):
+        """Single-maintenance-writer mutex for operations that either
+        DELETE files (``expire_snapshots``) or RE-REFERENCE old files
+        (``rollback``). Without it, a rollback whose target fell outside
+        the retention window can commit a snapshot pointing at files a
+        concurrently-running expire just deleted. Normal commits (apply /
+        compact / DML) never take the lock — they only add files and are
+        serialized by optimistic versioning. Crash-safety: a lock older
+        than ``stale_s`` is treated as a dead holder's leftover and
+        broken."""
+        lock = os.path.join(self.meta_dir, MAINT_LOCK)
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except FileNotFoundError:
+                    continue
+                if age > stale_s:
+                    try:
+                        os.remove(lock)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"maintenance lock {lock} held for {age:.0f}s; "
+                        f"another expire/rollback in progress") from None
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
     def rollback(self, snapshot_id: int) -> Snapshot:
         """Roll the table back to a previous snapshot's STATE as a new
         commit (Iceberg rollback semantics): the new snapshot adopts the
-        target's file list, schema, bucket count — and its epoch ledger,
-        so change batches committed after the target are re-appliable on
-        redelivery (the CDC contract: rollback then replay). History is
-        preserved; the rolled-back snapshots stay time-travelable until
-        ``expire_snapshots`` reclaims them."""
-        base = self.current()
-        target = self.snapshot(snapshot_id)
-        snap = Snapshot(
-            snapshot_id=base.snapshot_id + 1,
-            parent_id=base.snapshot_id,
-            schema=target.schema,
-            n_buckets=target.n_buckets,
-            bucket_col=target.bucket_col,
-            files=list(target.files),
-            committed_epochs=dict(target.committed_epochs),
-            lineage={"op": "rollback", "to": snapshot_id},
-            timestamp_ms=int(time.time() * 1000),
-            multi_version=target.multi_version,
-        )
-        self._write_snapshot(snap)
-        return snap
+        target's manifest list verbatim (a metadata-only commit — zero
+        manifest or data writes), its schema, bucket count — and its epoch
+        ledger, so change batches committed after the target are
+        re-appliable on redelivery (the CDC contract: rollback then
+        replay). History is preserved; the rolled-back snapshots stay
+        time-travelable until ``expire_snapshots`` reclaims them.
+
+        Holds the maintenance lock: rollback re-references files that only
+        OLD snapshots reference, which a concurrent ``expire_snapshots``
+        would classify as reclaimable — the lock serializes the two (see
+        :meth:`_maintenance_lock`)."""
+        with self._maintenance_lock():
+            base = self.current()
+            target = self.snapshot(snapshot_id)
+            snap = Snapshot(
+                snapshot_id=base.snapshot_id + 1,
+                parent_id=base.snapshot_id,
+                schema=target.schema,
+                n_buckets=target.n_buckets,
+                bucket_col=target.bucket_col,
+                committed_epochs=dict(target.committed_epochs),
+                lineage={"op": "rollback", "to": snapshot_id},
+                timestamp_ms=int(time.time() * 1000),
+                multi_version=target.multi_version,
+                manifests=(list(target.manifests)
+                           if target.manifests is not None else None),
+                loader=self._load_manifest,
+            )
+            if snap.manifests is None:
+                snap._files = list(target.files)
+            self._write_snapshot(snap)
+            return snap
 
     def lookup(self, key_value: str) -> DataFrame:
         """Point lookup: hash the key to its bucket DRIVER-SIDE (pure-
@@ -668,59 +995,92 @@ class LakeTable:
 
         The current snapshot chain is never touched (``keep_last`` is
         floored at 1) and the retained set is computed from on-disk
-        metadata before any deletion. Returns deletion stats."""
+        metadata before any deletion. Runs under the maintenance lock so a
+        concurrent ``rollback`` (which RE-references old files) cannot
+        interleave with the delete pass (see :meth:`_maintenance_lock`).
+        Returns deletion stats."""
         keep_last = max(int(keep_last), 1)
-        current = self.current_version()
-        history = self.history()
-        retained = [s for s in history if s.snapshot_id > current - keep_last]
-        referenced = {f.path for s in retained for f in s.files}
-        expired = [s for s in history if s.snapshot_id <= current - keep_last]
-        expired_refs = {f.path for s in expired for f in s.files}
+        with self._maintenance_lock():
+            current = self.current_version()
+            history = self.history()
+            retained = [s for s in history
+                        if s.snapshot_id > current - keep_last]
+            referenced = {f.path for s in retained for f in s.files}
+            retained_manifests = {e.path for s in retained
+                                  for e in (s.manifests or [])}
+            expired = [s for s in history
+                       if s.snapshot_id <= current - keep_last]
+            expired_refs = {f.path for s in expired for f in s.files}
+            expired_manifests = {e.path for s in expired
+                                 for e in (s.manifests or [])}
 
-        expired_meta = 0
-        for s in expired:
-            os.remove(self._meta_path(s.snapshot_id))
-            expired_meta += 1
+            expired_meta = 0
+            for s in expired:
+                os.remove(self._meta_path(s.snapshot_id))
+                expired_meta += 1
 
-        now = time.time()
-        deleted_files = 0
-        freed_bytes = 0
-        for fname in os.listdir(self.data_dir):
-            rel = os.path.join("data", fname)
-            if rel in referenced:
-                continue
-            full = os.path.join(self.data_dir, fname)
-            if rel not in expired_refs:
-                # true orphan: possibly an in-flight commit's staged-in
-                # file — only reclaim once it has aged past the grace
-                try:
-                    if now - os.path.getmtime(full) < orphan_grace_s:
+            now = time.time()
+            deleted_files = 0
+            freed_bytes = 0
+            for fname in os.listdir(self.data_dir):
+                rel = os.path.join("data", fname)
+                if rel in referenced:
+                    continue
+                full = os.path.join(self.data_dir, fname)
+                if rel not in expired_refs:
+                    # true orphan: possibly an in-flight commit's staged-in
+                    # file — only reclaim once it has aged past the grace
+                    try:
+                        if now - os.path.getmtime(full) < orphan_grace_s:
+                            continue
+                    except FileNotFoundError:
                         continue
-                except FileNotFoundError:
-                    continue
-            freed_bytes += os.path.getsize(full)
-            os.remove(full)
-            deleted_files += 1
+                freed_bytes += os.path.getsize(full)
+                os.remove(full)
+                deleted_files += 1
 
-        orphan_dirs = 0
-        if clean_orphans:
-            for d in os.listdir(self.path):
-                if not d.startswith(".stage-"):
+            # manifest shards follow the same two-class rule as data files:
+            # referenced only by expired snapshots → reclaim now; referenced
+            # by NO snapshot (an in-flight commit's staged manifests, or a
+            # crash leftover) → reclaim only past the grace window
+            deleted_manifests = 0
+            for fname in os.listdir(self.meta_dir):
+                if not (fname.startswith("m-") and fname.endswith(".json")):
                     continue
-                full = os.path.join(self.path, d)
-                try:
-                    if now - os.path.getmtime(full) < orphan_grace_s:
+                rel = os.path.join("metadata", fname)
+                if rel in retained_manifests:
+                    continue
+                full = os.path.join(self.meta_dir, fname)
+                if rel not in expired_manifests:
+                    try:
+                        if now - os.path.getmtime(full) < orphan_grace_s:
+                            continue
+                    except FileNotFoundError:
                         continue
-                except FileNotFoundError:
-                    continue
-                shutil.rmtree(full, ignore_errors=True)
-                orphan_dirs += 1
+                os.remove(full)
+                self._manifest_cache.pop(rel, None)
+                deleted_manifests += 1
 
-        return {"expired_snapshots": expired_meta,
-                "deleted_files": deleted_files,
-                "freed_bytes": freed_bytes,
-                "orphan_dirs_removed": orphan_dirs,
-                "retained": [s.snapshot_id for s in retained]}
+            orphan_dirs = 0
+            if clean_orphans:
+                for d in os.listdir(self.path):
+                    if not d.startswith(".stage-"):
+                        continue
+                    full = os.path.join(self.path, d)
+                    try:
+                        if now - os.path.getmtime(full) < orphan_grace_s:
+                            continue
+                    except FileNotFoundError:
+                        continue
+                    shutil.rmtree(full, ignore_errors=True)
+                    orphan_dirs += 1
+
+            return {"expired_snapshots": expired_meta,
+                    "deleted_files": deleted_files,
+                    "deleted_manifests": deleted_manifests,
+                    "freed_bytes": freed_bytes,
+                    "orphan_dirs_removed": orphan_dirs,
+                    "retained": [s.snapshot_id for s in retained]}
 
     def stats(self) -> dict[str, Any]:
         snap = self.current()

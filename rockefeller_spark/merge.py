@@ -33,7 +33,7 @@ UPDATE (``/root/reference/scripts/verify.py:60-87``).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable, Union
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
@@ -41,8 +41,8 @@ from pyspark.sql import types as T
 
 from rockefeller_spark import schema as S
 from rockefeller_spark.cdc import winners_to_stored
-from rockefeller_spark.lake import (CommitConflictError, LakeTable, Snapshot,
-                                    bucket_expr)
+from rockefeller_spark.lake import (CommitConflictError, DataFile, LakeTable,
+                                    Snapshot, bucket_expr, changed_buckets)
 from rockefeller_spark.normalize import normalize_columns
 
 
@@ -54,6 +54,10 @@ class ApplyResult:
     winners: int | None = None
     buckets_touched: list[int] = field(default_factory=list)
     rows_written: int = 0
+    # True when a commit conflict was resolved by REBASING the already-
+    # staged files onto the competing snapshot (disjoint writers) instead
+    # of recomputing the merge
+    rebased: bool = False
 
     def lineage(self) -> dict[str, Any]:
         return {} if self.snapshot is None else self.snapshot.lineage
@@ -68,25 +72,45 @@ def _evolved_schema(table_schema: T.StructType, events: DataFrame) -> T.StructTy
     return merged if len(merged.fields) != len(table_schema.fields) else None
 
 
-def apply_batch(table: LakeTable, events: DataFrame, *,
+def apply_batch(table: LakeTable,
+                events: Union[DataFrame, Callable[[], DataFrame]], *,
                 stream_id: str | None = None, epoch: int | None = None,
                 write_salt: int = 4, collect_metrics: bool = True,
                 mode: str = "cow", retries: int = 0) -> ApplyResult:
-    """Apply one micro-batch with optimistic-concurrency retry. The merge
-    computes against the snapshot current at its start and commits with
-    ``expected_version``; if another writer (a concurrent compact, DML
-    statement, or second stream) lands first, the commit raises
-    :class:`CommitConflictError` and — with ``retries`` > 0 — the WHOLE
-    apply re-runs against the new snapshot. Recomputing is mandatory for
-    correctness (the CoW merge result depends on the target state; the
-    epoch gate is also re-checked, so a replayed epoch that the competing
-    writer just committed turns into a skip). A losing attempt's staged
-    files become orphans behind ``expire_snapshots``'s grace window.
+    """Apply one micro-batch with optimistic-concurrency conflict
+    handling. The merge computes against the snapshot current at its
+    start and commits with ``expected_version``; if another writer (a
+    concurrent compact, DML statement, or second stream) lands first, the
+    conflict resolves in two tiers:
+
+    1. **Rebase (no recompute).** If every bucket the competing commit(s)
+       changed is DISJOINT from this batch's touched buckets — checked
+       from metadata only, Iceberg's file-set validation — the already-
+       staged files re-commit against the new snapshot as-is. This makes
+       apply-vs-maintenance conflicts (a compaction of OTHER buckets
+       landing mid-apply, the routine pairing once ``jobs/maintain_job``
+       runs in its own worker) cost one metadata round, not a merge
+       recompute. MOR appends rebase whenever the bucket layout is
+       unchanged (a pure append commutes). Rebase is refused when the
+       competitor rescaled buckets, when this batch evolves the schema,
+       or when bucket overlap is real — those fall through to tier 2.
+    2. **Recompute.** With ``retries`` > 0 the WHOLE apply re-runs
+       against the new snapshot (the CoW merge result depends on target
+       state; the epoch gate is re-checked, so a replayed epoch the
+       competitor just committed turns into a skip).
+
+    ``events`` may be a DataFrame or a zero-arg CALLABLE returning one —
+    the callable is re-invoked on every recompute attempt, so inputs that
+    depend on the current table state (predicate DML's matched keys and
+    its high-water-mark LSN) are derived fresh per attempt rather than
+    baked stale into a retried plan. A losing attempt's staged files
+    become orphans behind ``expire_snapshots``'s grace window.
     Single-writer deployments keep ``retries=0`` (fail fast). See
     :func:`_apply_once` for the apply algorithm itself."""
     for attempt in range(max(retries, 0) + 1):
+        ev = events() if callable(events) else events
         try:
-            return _apply_once(table, events, stream_id=stream_id,
+            return _apply_once(table, ev, stream_id=stream_id,
                                epoch=epoch, write_salt=write_salt,
                                collect_metrics=collect_metrics, mode=mode)
         except CommitConflictError:
@@ -213,7 +237,14 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
     # stats (no extra job), then commit everything in one atomic snapshot.
     adds = table._stage_write(merged, snap.n_buckets, snap.bucket_col,
                               pre_bucketed=True, span_buckets=(mode == "mor"))
-    if mode != "mor":
+    if mode == "mor":
+        # stamp each bucket-spanning delta file with the batch's touched-
+        # bucket set (already computed, ≤ n_buckets ints): reads and the
+        # change feed keep pruning under a delta trickle instead of
+        # scanning every pending delta for every bucket
+        for f in adds:
+            f.buckets = sorted(touched)
+    else:
         bad = {f.bucket for f in adds} - touched
         if bad:
             raise ValueError(
@@ -249,12 +280,85 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
                   if f.bucket is not None and f.bucket in touched}
         multi_version = None           # inherit (a CoW apply resolves only
                                        # the buckets it touched)
-    new_snap = table.commit(adds, remove, stream_id=stream_id, epoch=epoch,
-                            new_schema=new_schema, lineage=lineage,
-                            expected_version=snap.snapshot_id,
-                            multi_version=multi_version)
+    rebased = False
+    try:
+        new_snap = table.commit(adds, remove, stream_id=stream_id,
+                                epoch=epoch, new_schema=new_schema,
+                                lineage=lineage,
+                                expected_version=snap.snapshot_id,
+                                multi_version=multi_version)
+    except CommitConflictError:
+        new_snap = _rebase_commit(table, snap, adds, touched, mode=mode,
+                                  stream_id=stream_id, epoch=epoch,
+                                  new_schema=new_schema, lineage=lineage)
+        if new_snap is None:
+            raise          # not disjoint / not rebasable: recompute upstream
+        if new_snap is _SKIPPED:
+            return ApplyResult(None, skipped=True)
+        rebased = True
     return ApplyResult(new_snap, events_in=events_in, winners=None,
-                       buckets_touched=sorted(touched), rows_written=rows_written)
+                       buckets_touched=sorted(touched),
+                       rows_written=rows_written, rebased=rebased)
+
+
+_SKIPPED = object()   # sentinel: competitor committed our (stream, epoch)
+
+
+def _rebase_commit(table: LakeTable, expected: Snapshot,
+                   adds: list[DataFile], touched: set[int], *, mode: str,
+                   stream_id: str | None, epoch: int | None,
+                   new_schema, lineage: dict[str, Any],
+                   max_races: int = 3):
+    """Iceberg-style conflict rebase: when the commit(s) that beat this
+    apply changed only buckets DISJOINT from its touched set (validated
+    from manifest metadata alone — untouched manifest shards are shared
+    by path, so only changed shards load), the already-staged files are
+    re-committed against the new table head without recomputing the
+    merge. Returns the new Snapshot, ``_SKIPPED`` if the competitor
+    already committed this (stream, epoch), or None when a rebase would
+    be unsound:
+
+    - the competitor rescaled buckets (bucket ids shifted under us);
+    - this batch evolves the schema (merging two concurrent evolutions
+      needs the recompute path's fresh schema merge);
+    - CoW and the changed-bucket sets intersect, or the competitor's
+      reach is unknowable (an unannotated bucket-spanning delta);
+    - the expected base snapshot already expired.
+
+    MOR appends need no disjointness: a pure delta append commutes with
+    any same-layout commit (read-time LWW orders by ``_lsn``)."""
+    for _ in range(max_races):
+        cur = table.current()
+        if cur.snapshot_id == expected.snapshot_id:
+            return None                       # hint racing; let caller retry
+        if stream_id is not None and epoch is not None and \
+                cur.committed_epochs.get(stream_id, -1) >= epoch:
+            return _SKIPPED
+        if cur.n_buckets != expected.n_buckets or new_schema is not None:
+            return None
+        if mode != "mor":
+            try:
+                diff = changed_buckets(expected, cur)
+            except (FileNotFoundError, ValueError):
+                return None                   # base expired mid-flight
+            if diff is None or diff & touched:
+                return None
+            remove = {f.path for f in cur.files
+                      if f.bucket is not None and f.bucket in touched}
+            multi_version = None
+        else:
+            remove = set()
+            multi_version = True
+        try:
+            return table.commit(
+                adds, remove, stream_id=stream_id, epoch=epoch,
+                lineage={**lineage, "rebased_from": expected.snapshot_id,
+                         "rebased_onto": cur.snapshot_id},
+                expected_version=cur.snapshot_id,
+                multi_version=multi_version)
+        except CommitConflictError:
+            continue                          # yet another writer; revalidate
+    return None
 
 
 def read_state(table: LakeTable, snapshot_id: int | None = None,

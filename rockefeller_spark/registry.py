@@ -224,6 +224,60 @@ WHERE s1.conv_id IS NULL OR s2.conv_id IS NULL
 """
 
 
+_STATS_SCRATCH = os.path.join(tempfile.gettempdir(),
+                              f"rk-stats-scratch-{os.getpid()}")
+atexit.register(shutil.rmtree, _STATS_SCRATCH, True)
+
+
+def q_cdc_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The METADATA surface under the oracle gate: apply the full change
+    stream, then report table statistics derived ONLY from snapshot
+    metadata (manifest entries + parquet-footer stats — zero data
+    scanned), cross-checked IN-QUERY against a full recount from the
+    data files: per-bucket row counts and max applied LSN must agree
+    exactly or this raises. Oracle: the replay SQL — stored rows =
+    distinct keys ever seen (the CoW table keeps tombstones as rows),
+    max_lsn = the top applied LSN."""
+    from rockefeller_spark.lake import bucket_expr
+    ev = events_as_changes(_t(spark, sf_dir, "events"))
+    shutil.rmtree(_STATS_SCRATCH, ignore_errors=True)
+    table = LakeTable.create(spark, os.path.join(_STATS_SCRATCH, "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=16)
+    apply_batch(table, ev, stream_id="stats", epoch=0)
+    snap = table.current()
+    meta: dict[int, tuple[int, int]] = {}
+    for f in snap.files:
+        r, m = meta.get(f.bucket, (0, -1))
+        meta[f.bucket] = (r + f.rows,
+                          max(m, f.max_lsn if f.max_lsn is not None else -1))
+    actual = {
+        r["b"]: (r["rows"], r["mx"])
+        for r in (table.read()
+                  .groupBy(bucket_expr(snap.bucket_col, snap.n_buckets)
+                           .alias("b"))
+                  .agg(F.count(F.lit(1)).alias("rows"),
+                       F.max("_lsn").alias("mx"))
+                  .collect())}
+    if meta != actual:
+        raise AssertionError(
+            f"snapshot metadata stats diverge from the data: {meta} != {actual}")
+    s = table.stats()
+    return spark.createDataFrame(
+        [(s["rows"], s["max_lsn"], s["n_buckets"])],
+        "stored_rows bigint, max_lsn bigint, n_buckets int")
+
+
+SQL_CDC_TABLE_STATS = """
+WITH ch AS (SELECT event_id AS lsn,
+                   'u' || CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(event_id % 20 AS INTEGER) AS turn_idx
+            FROM events)
+SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT conv_id, turn_idx FROM ch)) AS stored_rows,
+       (SELECT MAX(lsn) FROM ch) AS max_lsn,
+       16 AS n_buckets
+"""
+
+
 def q_cdc_lsn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC audit: missing-LSN ranges in an event log with holes punched
     in it (the at-least-once data-loss alarm). Small block width so the
@@ -757,9 +811,13 @@ def q_moving_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is the shape rows-frames can't express (irregular event
     spacing); partitions are per-user so no global sort task."""
     ev = _t(spark, sf_dir, "events")
+    # MICROSECOND-precision frame key on both engines (unix_micros here,
+    # epoch_us in the oracle): a whole-second key would silently widen the
+    # frame boundary for sub-second timestamps even though the fixture
+    # happens to emit whole seconds
     w = (Window.partitionBy("user_id")
-         .orderBy(F.col("ts").cast("timestamp_ltz").cast("long"))
-         .rangeBetween(-3600, 0))
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+         .rangeBetween(-3_600_000_000, 0))
     return (ev.select("user_id", "event_id",
                       F.sum(F.col("value").cast("decimal(18,2)")).over(w)
                       .cast("double").alias("mov_sum_1h")))
@@ -768,8 +826,8 @@ def q_moving_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MOVING_VALUE_SUM = """
 SELECT user_id, event_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-            PARTITION BY user_id ORDER BY ts
-            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS mov_sum_1h
 FROM events
 """
@@ -1522,9 +1580,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "event_quantiles": q_event_quantiles,
     "moving_value_sum": q_moving_value_sum,
-    # CDC output surface + predicate DML
+    # CDC output surface + predicate DML + metadata surface
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_lsn_gaps": q_cdc_lsn_gaps,
+    "cdc_table_stats": q_cdc_table_stats,
     "cdc_delete_where": q_cdc_delete_where,
     "cdc_update_where": q_cdc_update_where,
     # text pipeline
@@ -1580,6 +1639,7 @@ ORACLES: dict[str, str] = {
     "moving_value_sum": SQL_MOVING_VALUE_SUM,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_lsn_gaps": SQL_CDC_LSN_GAPS,
+    "cdc_table_stats": SQL_CDC_TABLE_STATS,
     "cdc_delete_where": SQL_CDC_DELETE_WHERE,
     "cdc_update_where": SQL_CDC_UPDATE_WHERE,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,

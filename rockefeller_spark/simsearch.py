@@ -156,34 +156,35 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.98,
     ``n_planes`` must grow (≥64 at web scale → 16-bit chunks), which is
     also what recall wants."""
     assert n_planes % 4 == 0
-    sigs = lsh_signbits(df, dim, n_planes, seed, id_col, vec_col).persist()
-    width = n_planes // 4
-    mask = (1 << width) - 1
-    chunks = F.array(*[
-        F.shiftrightunsigned(F.col("signbits"), width * i).bitwiseAND(F.lit(mask))
-        for i in range(4)])
-    banded = sigs.select(F.col(id_col).alias("id"), "signbits",
-                         F.posexplode(chunks).alias("band", "chunk"))
-    if max_bucket is not None:
-        from rockefeller_spark.dedup import _drop_heavy_groups
-        banded = banded.persist()
-        banded = _drop_heavy_groups(banded, ["band", "chunk"], max_bucket,
-                                    "embedding_near_dup_pairs chunk buckets")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    ham = F.bit_count(F.col("a.signbits").bitwiseXOR(F.col("b.signbits")))
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .filter(ham <= max_hamming)
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
-    ea = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    eb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (cand.join(ea, "id_a").join(eb, "id_b")
-            .withColumn("cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
-            .filter(F.col("cosine_sim") >= threshold)
-            .select("id_a", "id_b", "cosine_sim"))
+    from rockefeller_spark.dedup import _cache, _cache_scope, _drop_heavy_groups
+    with _cache_scope():
+        sigs = _cache(lsh_signbits(df, dim, n_planes, seed, id_col, vec_col))
+        width = n_planes // 4
+        mask = (1 << width) - 1
+        chunks = F.array(*[
+            F.shiftrightunsigned(F.col("signbits"), width * i).bitwiseAND(F.lit(mask))
+            for i in range(4)])
+        banded = sigs.select(F.col(id_col).alias("id"), "signbits",
+                             F.posexplode(chunks).alias("band", "chunk"))
+        if max_bucket is not None:
+            banded = _cache(banded)
+            banded = _drop_heavy_groups(banded, ["band", "chunk"], max_bucket,
+                                        "embedding_near_dup_pairs chunk buckets")
+        a = banded.alias("a")
+        b = banded.alias("b")
+        ham = F.bit_count(F.col("a.signbits").bitwiseXOR(F.col("b.signbits")))
+        cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.chunk") == F.col("b.chunk"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .filter(ham <= max_hamming)
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+                .distinct())
+        ea = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        eb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        return (cand.join(ea, "id_a").join(eb, "id_b")
+                .withColumn("cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+                .filter(F.col("cosine_sim") >= threshold)
+                .select("id_a", "id_b", "cosine_sim"))
 
 
 def hyperplane_signs(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
@@ -227,14 +228,16 @@ def lsh_topk(df: DataFrame, query_id: int, dim: int, k: int = 10,
     the re-rank touches only candidates. The sketch table feeds two
     subtrees (query side + candidate filter) → persisted, one long per
     row; at fleet scale it is a stored sketch column, computed once."""
-    sigs = lsh_signbits(df, dim, n_planes, seed, id_col, vec_col).persist()
-    qsig = sigs.filter(F.col(id_col) == query_id).select(
-        F.col("signbits").alias("_qsig"))
-    cand_ids = (sigs.crossJoin(F.broadcast(qsig))
-                .filter(F.bit_count(F.col("signbits").bitwiseXOR(F.col("_qsig")))
-                        <= max_hamming)
-                .select(id_col))
-    # Hamming-bounded candidate lists are small → broadcast the id set so
-    # the corpus never shuffles for the semi-join
-    cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    return cosine_topk(cand, query_id, k, id_col, vec_col, query_df=df)
+    from rockefeller_spark.dedup import _cache, _cache_scope
+    with _cache_scope():
+        sigs = _cache(lsh_signbits(df, dim, n_planes, seed, id_col, vec_col))
+        qsig = sigs.filter(F.col(id_col) == query_id).select(
+            F.col("signbits").alias("_qsig"))
+        cand_ids = (sigs.crossJoin(F.broadcast(qsig))
+                    .filter(F.bit_count(F.col("signbits").bitwiseXOR(F.col("_qsig")))
+                            <= max_hamming)
+                    .select(id_col))
+        # Hamming-bounded candidate lists are small → broadcast the id set
+        # so the corpus never shuffles for the semi-join
+        cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        return cosine_topk(cand, query_id, k, id_col, vec_col, query_df=df)

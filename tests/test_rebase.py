@@ -1,0 +1,169 @@
+"""Commit rebase for disjoint concurrent writers + per-attempt DML
+freshness (round-4 VERDICT item 4 and the dml.py ADVICE item)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rockefeller_spark import gen
+from rockefeller_spark.dml import delete_where
+from rockefeller_spark.lake import CommitConflictError, LakeTable
+from rockefeller_spark.merge import apply_batch, read_state
+from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"),
+                            STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+
+
+def _expected_state(spark, ev):
+    """Key-level LWW reference state computed independently of the engine."""
+    pdf = ev.toPandas().sort_values("lsn")
+    state = {}
+    for _, r in pdf.iterrows():
+        k = (r["conv_id"], r["turn_idx"])
+        state[k] = None if r["op"] == "D" else (r["role"], r["text"])
+    return {k: v for k, v in state.items() if v is not None}
+
+
+def _visible(table):
+    return {(r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
+            for r in read_state(table).collect()}
+
+
+def _inject_conflict(monkeypatch, table, action):
+    """Intercept the victim apply's FIRST commit: run ``action`` (which
+    commits something else, moving the table head) and only then let the
+    real commit proceed — it now fails its expected_version check, which
+    exercises the conflict path. Re-entrant: commits issued from inside
+    ``action`` (and every later commit) go straight through."""
+    real_commit = table.commit
+    state = {"fired": False, "in_action": False}
+
+    def racing_commit(*args, **kwargs):
+        if not state["fired"] and not state["in_action"]:
+            state["fired"] = True
+            state["in_action"] = True
+            try:
+                action()
+            finally:
+                state["in_action"] = False
+        return real_commit(*args, **kwargs)
+
+    monkeypatch.setattr(table, "commit", racing_commit)
+    return state
+
+
+def test_rebase_on_disjoint_compaction(spark, table, monkeypatch):
+    """An untouched-bucket compaction landing mid-apply re-commits the
+    staged files WITHOUT recomputing the merge (no extra stage write)."""
+    ev = gen.gen_change_events(spark, n_events=400, n_convs=20, seed=31)
+    apply_batch(table, ev)
+    one = gen.gen_change_events(spark, n_events=10, n_convs=1, seed=32)
+    probe = apply_batch(table, one)          # learn the hot conv's bucket
+    touched = set(probe.buckets_touched)
+    others = set(range(4)) - touched
+
+    stages = {"n": 0}
+    real_stage = table._stage_write
+
+    def counting_stage(*args, **kwargs):
+        stages["n"] += 1
+        return real_stage(*args, **kwargs)
+    monkeypatch.setattr(table, "_stage_write", counting_stage)
+    _inject_conflict(monkeypatch, table,
+                     lambda: table.compact(buckets=others))
+
+    more = gen.gen_change_events(spark, n_events=10, n_convs=1, seed=33)
+    res = apply_batch(table, more, retries=2)
+    assert res.rebased
+    assert res.snapshot.lineage["rebased_from"] == 2
+    assert res.snapshot.lineage["rebased_onto"] == 3
+    # ONE stage write for the apply + one for the compaction — no restage
+    assert stages["n"] == 2
+    # state exact: both batches and the compaction all landed
+    want = _expected_state(spark, ev.unionByName(one).unionByName(more))
+    assert _visible(table) == want
+
+
+def test_overlapping_conflict_recomputes_not_rebases(spark, table, monkeypatch):
+    """A competing apply to the SAME bucket must force a full recompute
+    (rebase refused), and the LWW outcome must still be exact."""
+    ev = gen.gen_change_events(spark, n_events=200, n_convs=1, seed=34)
+    pdf = ev.toPandas()
+    first = spark.createDataFrame(pdf[pdf.lsn < 100], ev.schema)
+    second = spark.createDataFrame(pdf[pdf.lsn >= 100], ev.schema)
+
+    _inject_conflict(monkeypatch, table, lambda: apply_batch(table, first))
+    res = apply_batch(table, second, retries=2)
+    assert not res.rebased                   # overlap → recompute path
+    assert _visible(table) == _expected_state(spark, ev)
+
+
+def test_conflict_without_retries_still_raises(spark, table, monkeypatch):
+    ev = gen.gen_change_events(spark, n_events=100, n_convs=1, seed=35)
+    pdf = ev.toPandas()
+    first = spark.createDataFrame(pdf[pdf.lsn < 50], ev.schema)
+    second = spark.createDataFrame(pdf[pdf.lsn >= 50], ev.schema)
+
+    _inject_conflict(monkeypatch, table, lambda: apply_batch(table, first))
+    with pytest.raises(CommitConflictError):
+        apply_batch(table, second)           # retries=0, same-bucket overlap
+
+
+def test_mor_append_rebases_through_any_samelayout_commit(spark, table,
+                                                          monkeypatch):
+    """A MOR delta append commutes: it rebases even when the competing
+    commit touched the same buckets (read-time LWW orders by _lsn)."""
+    ev = gen.gen_change_events(spark, n_events=200, n_convs=4, seed=36)
+    apply_batch(table, ev)
+    _inject_conflict(
+        monkeypatch, table,
+        lambda: apply_batch(table, gen.gen_change_events(
+            spark, n_events=10, n_convs=4, seed=37)))
+    res = apply_batch(table, gen.gen_change_events(spark, n_events=10,
+                                                   n_convs=4, seed=38),
+                      mode="mor", retries=1)
+    assert res.rebased
+    assert table.current().multi_version
+
+
+def test_rebase_refused_after_rescale(spark, table, monkeypatch):
+    """A concurrent bucket-count change invalidates staged bucket ids:
+    rebase must refuse and the recompute must land correctly."""
+    ev = gen.gen_change_events(spark, n_events=200, n_convs=10, seed=40)
+    apply_batch(table, ev)
+    _inject_conflict(monkeypatch, table, lambda: table.rescale_buckets(8))
+    more = gen.gen_change_events(spark, n_events=20, n_convs=10, seed=41)
+    res = apply_batch(table, more, retries=2)
+    assert not res.rebased
+    assert table.current().n_buckets == 8
+    assert _visible(table) == _expected_state(spark, ev.unionByName(more))
+
+
+def test_dml_retry_recomputes_lsn(spark, table, monkeypatch):
+    """Under retries, a conflicting commit must NOT leave DML tombstones
+    with a stale HWM+1: the factory re-derives matches and LSN per
+    attempt, so the delete still outranks the competitor's rows."""
+    ev = gen.gen_change_events(spark, n_events=100, n_convs=1, seed=42)
+    apply_batch(table, ev)
+    conv = read_state(table).select("conv_id").first()["conv_id"]
+
+    # competitor: replays the same conversation's events 1000 LSNs higher
+    # — ABOVE the stale HWM+1 the first DML attempt would have baked in
+    comp_pdf = ev.toPandas()
+    comp_pdf = comp_pdf[comp_pdf.op != "D"].copy()
+    comp_pdf["lsn"] = comp_pdf["lsn"] + 1000
+    comp_pdf["text"] = "resurrected"
+
+    def competitor():
+        apply_batch(table, spark.createDataFrame(comp_pdf, ev.schema))
+
+    _inject_conflict(monkeypatch, table, competitor)
+    delete_where(table, F.col("conv_id") == conv, retries=2)
+    # the conversation is GONE: the retried tombstones outrank the
+    # competitor's post-conflict upserts
+    assert read_state(table).filter(F.col("conv_id") == conv).count() == 0

@@ -214,3 +214,18 @@ def test_dedup_clusters_connected_components(spark):
     # keep/drop decision: representatives are exactly the cluster minima
     keep = {d for d, c in got.items() if d == c}
     assert keep == {0, 3, 6, 7}
+
+
+def test_sketch_caches_released_between_calls(spark, docs):
+    """ADVICE dedup.py: repeated sketch calls in a long-lived session must
+    not accumulate persisted blocks — each top-level call releases the
+    previous call's caches, and release_caches() frees the last."""
+    D.minhash_dedup_pairs(docs).count()
+    first_gen = list(D._LIVE_CACHES)
+    assert first_gen                      # sigs + bands registered
+    D.simhash_near_pairs(docs).count()
+    # previous generation fully unpersisted, replaced by the new one
+    assert all(df.storageLevel.useMemory is False for df in first_gen)
+    assert D._LIVE_CACHES and D._LIVE_CACHES != first_gen
+    D.release_caches()
+    assert not D._LIVE_CACHES
