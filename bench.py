@@ -148,13 +148,19 @@ def bench_trickle(spark, base_events: int = 10_000_000,
 
 
 def bench_skew(spark, n_events: int = 20_000_000,
-               n_buckets: int = 256) -> dict:
+               n_buckets: int = 256, repeats: int = 3) -> dict:
     """Adversarial key-skew leg: ONE conversation holds ~10% of all
     events (far beyond the Zipf head), so its bucket receives 10% of the
     shuffle. The apply path's defense is the salted (bucket, salt)
     repartition — with salt=1 the hot bucket lands on ONE reducer/writer
     task; with the default salt it spreads over `write_salt` tasks.
-    Reports the same single-batch apply wall with and without salting."""
+
+    Best-of-``repeats`` per salt config against a FRESH table each run,
+    salt configs INTERLEAVED (1,8,1,8,...) so a hypervisor noise window
+    hits both configs equally rather than biasing one — the round-3
+    single-sample version produced a 1.71x-faster vs 1.36x-slower
+    contradiction between two runs of identical code. All walls are
+    reported; the speedup is computed on the minima."""
     from pyspark.sql import functions as F
     work = tempfile.mkdtemp(prefix="rk-skew-")
     events_path = os.path.join(work, "events")
@@ -168,19 +174,137 @@ def bench_skew(spark, n_events: int = 20_000_000,
     ev.write.mode("overwrite").parquet(events_path)
     log = spark.read.parquet(events_path)
     out: dict = {"n_events": n_events, "hot_key_fraction": 0.1,
-                 "n_buckets": n_buckets}
+                 "n_buckets": n_buckets, "repeats": repeats}
+    walls: dict[int, list[float]] = {1: [], 8: []}
+    for r in range(max(repeats, 1)):
+        for salt in (1, 8):
+            tdir = os.path.join(work, f"t-{salt}-{r}")
+            table = LakeTable.create(spark, tdir, STORED_TRANSCRIPT_SCHEMA,
+                                     n_buckets=n_buckets)
+            t0 = time.time()
+            apply_batch(table, log, collect_metrics=False, write_salt=salt)
+            walls[salt].append(round(time.time() - t0, 3))
+            shutil.rmtree(tdir, ignore_errors=True)
     for salt in (1, 8):
-        tdir = os.path.join(work, f"t-{salt}")
-        table = LakeTable.create(spark, tdir, STORED_TRANSCRIPT_SCHEMA,
-                                 n_buckets=n_buckets)
-        t0 = time.time()
-        apply_batch(table, log, collect_metrics=False, write_salt=salt)
-        out[f"apply_salt{salt}_sec"] = round(time.time() - t0, 3)
-        shutil.rmtree(tdir, ignore_errors=True)
+        out[f"apply_salt{salt}_walls"] = walls[salt]
+        out[f"apply_salt{salt}_sec"] = min(walls[salt])
     out["salting_speedup"] = round(out["apply_salt1_sec"]
                                    / max(out["apply_salt8_sec"], 1e-9), 2)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def bench_compact(spark, n_events: int = 50_000_000,
+                  n_buckets: int = 256, repeats: int = 2) -> dict:
+    """Attribute the compaction bill (round-3 VERDICT: compact_resolve
+    tripled when key-sorted compaction became the default, unmeasured).
+    One MOR-loaded table; each config's full ``compact()`` is timed
+    best-of-``repeats``, using the metadata-only ``rollback`` to restore
+    the pre-compact snapshot between runs (same input state for every
+    config, no table rebuild). Configs: sort_by_key on/off ×
+    target_rows_per_file unset/set. The read-side payoff of sorting is
+    measured separately by bench_read_side; this leg prices what the
+    CompactionPolicy defaults COST."""
+    work = tempfile.mkdtemp(prefix="rk-compact-")
+    ev = gen.gen_change_events(spark, n_events=n_events,
+                               n_convs=max(1000, n_events // 200),
+                               max_turns=50, seed=46, num_partitions=32)
+    ev.write.mode("overwrite").parquet(os.path.join(work, "events"))
+    log = spark.read.parquet(os.path.join(work, "events"))
+    table = LakeTable.create(spark, os.path.join(work, "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=n_buckets)
+    # MOR load → pending deltas, so compact() also pays the LWW resolve,
+    # matching the stream loop's auto-compaction shape
+    span = n_events // 4 + 1
+    for b in range(4):
+        apply_batch(table, log.filter((log.lsn >= b * span)
+                                      & (log.lsn < (b + 1) * span)),
+                    collect_metrics=False, mode="mor")
+    base_v = table.current_version()
+    target = max(200_000, n_events // n_buckets)
+    configs = [("sorted", dict(sort_by_key=True)),
+               ("unsorted", dict(sort_by_key=False)),
+               ("sorted_sized", dict(sort_by_key=True,
+                                     target_rows_per_file=target)),
+               ("unsorted_sized", dict(sort_by_key=False,
+                                       target_rows_per_file=target))]
+    out: dict = {"n_events": n_events, "n_buckets": n_buckets,
+                 "repeats": repeats, "target_rows_per_file": target}
+    walls: dict[str, list[float]] = {name: [] for name, _ in configs}
+    for r in range(max(repeats, 1)):
+        for name, kw in configs:        # interleaved vs hypervisor noise
+            t0 = time.time()
+            table.compact(**kw)
+            walls[name].append(round(time.time() - t0, 3))
+            table.rollback(base_v)
+            # reclaim the compacted files so runs don't accumulate disk
+            table.expire_snapshots(keep_last=1, orphan_grace_s=3600.0)
+            base_v = table.current_version()
+    for name, _ in configs:
+        out[f"compact_{name}_walls"] = walls[name]
+        out[f"compact_{name}_sec"] = min(walls[name])
+    out["sort_overhead_x"] = round(
+        out["compact_sorted_sec"] / max(out["compact_unsorted_sec"], 1e-9), 2)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def bench_feed_trickle(spark, base_events: int = 10_000_000,
+                       n_trickle: int = 8, batch_events: int = 50_000,
+                       n_buckets: int = 256) -> dict:
+    """Change-feed pruning under PENDING MOR deltas (round-3 VERDICT
+    missing #3): delta files now carry their touched-bucket set, so a
+    feed cut across a delta trickle reads only the changed buckets
+    instead of both snapshots in full. The trickle is the pattern the
+    pruning exists for — a handful of ACTIVE conversations receiving
+    updates (≤ a few dozen buckets), against a table whose base load
+    spans every bucket. Measures the pruned feed wall vs the unpruned
+    full-diff reference on the same snapshots."""
+    from pyspark.sql import functions as F
+
+    from rockefeller_spark.feed import changes_between
+    from rockefeller_spark.lake import changed_buckets as _cb
+    from rockefeller_spark.merge import read_state
+    work = tempfile.mkdtemp(prefix="rk-feedtrickle-")
+    ev = gen.gen_change_events(spark, n_events=base_events,
+                               n_convs=max(1000, base_events // 200),
+                               max_turns=50, seed=47, num_partitions=32)
+    ev.write.mode("overwrite").parquet(os.path.join(work, "events"))
+    log = spark.read.parquet(os.path.join(work, "events"))
+    # the trickle: updates to 25 active conversations, LSNs above the base
+    tr = (gen.gen_change_events(spark, n_events=n_trickle * batch_events,
+                                n_convs=25, max_turns=50, seed=48)
+          .withColumn("lsn", F.col("lsn") + F.lit(base_events)))
+    tr.write.mode("overwrite").parquet(os.path.join(work, "trickle"))
+    trickle = spark.read.parquet(os.path.join(work, "trickle"))
+    table = LakeTable.create(spark, os.path.join(work, "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=n_buckets)
+    apply_batch(table, log, collect_metrics=False)
+    v_from = table.current_version()
+    for b in range(n_trickle):
+        lo = base_events + b * batch_events
+        apply_batch(table, trickle.filter((trickle.lsn >= lo)
+                                          & (trickle.lsn < lo + batch_events)),
+                    collect_metrics=False, mode="mor")
+    v_to = table.current_version()
+    pruned_to = _cb(table.snapshot(v_from), table.snapshot(v_to))
+    t0 = time.time()
+    _force(changes_between(table, v_from, v_to))
+    feed_sec = round(time.time() - t0, 3)
+    # unpruned reference: the SAME operator with pruning disabled — what
+    # every feed under pending deltas cost before delta files carried
+    # their touched-bucket set (the round-3 behavior)
+    t0 = time.time()
+    _force(changes_between(table, v_from, v_to, prune=False))
+    full_sec = round(time.time() - t0, 3)
+    shutil.rmtree(work, ignore_errors=True)
+    return {"base_events": base_events, "n_trickle": n_trickle,
+            "batch_events": batch_events,
+            "buckets_changed": len(pruned_to) if pruned_to is not None else None,
+            "n_buckets": n_buckets,
+            "feed_pruned_sec": feed_sec,
+            "full_diff_sec": full_sec,
+            "pruning_speedup": round(full_sec / max(feed_sec, 1e-9), 2)}
 
 
 def bench_read_side(spark, base_events: int = 10_000_000,
@@ -285,6 +409,15 @@ def main() -> None:
         reads = bench_read_side(spark,
                                 base_events=max(n_events // 5, 500_000),
                                 n_buckets=n_buckets)
+    compact = None
+    if os.environ.get("BENCH_COMPACT", "1") == "1" and not apply_only:
+        compact = bench_compact(spark, n_events=n_events,
+                                n_buckets=n_buckets)
+    feed = None
+    if os.environ.get("BENCH_FEED", "1") == "1" and not apply_only:
+        feed = bench_feed_trickle(spark,
+                                  base_events=max(n_events // 5, 500_000),
+                                  n_buckets=n_buckets)
 
     queries: dict[str, float] = {"cdc_apply_stream": cdc["apply_sec"]}
     if cdc_mor is not None:
@@ -317,6 +450,8 @@ def main() -> None:
         "cdc_trickle": trickle,
         "skew": skew,
         "read_side": reads,
+        "compact": compact,
+        "feed_trickle": feed,
     }
     spark.stop()
     print(json.dumps(out))

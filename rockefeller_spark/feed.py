@@ -31,7 +31,7 @@ from rockefeller_spark.merge import read_state
 
 
 def changes_between(table: LakeTable, from_snapshot_id: int,
-                    to_snapshot_id: int) -> DataFrame:
+                    to_snapshot_id: int, *, prune: bool = True) -> DataFrame:
     """One row per key whose VISIBLE value differs between two snapshots:
     ``(key cols, _change ∈ insert|update|delete, new payload cols — null
     for deletes)``.
@@ -46,10 +46,14 @@ def changes_between(table: LakeTable, from_snapshot_id: int,
     bucket set (stamped at append time), so pruning SURVIVES a pending
     delta trickle — only an unannotated delta (unknown reach) falls back
     to a full double read.
+
+    ``prune=False`` disables the metadata pruning and diffs the full
+    states (the benchmark reference; also the escape hatch if file
+    immutability were ever violated out-of-band).
     """
     s_from = table.snapshot(from_snapshot_id)
     s_to = table.snapshot(to_snapshot_id)
-    buckets = changed_buckets(s_from, s_to)
+    buckets = changed_buckets(s_from, s_to) if prune else None
     # note: an empty `buckets` set (identical file sets — metadata-only
     # commits) flows through read_state as a zero-file read → empty feed
     old = read_state(table, from_snapshot_id, buckets=buckets)
