@@ -21,8 +21,11 @@ gets maximal leverage — one shuffle, file-pruned reads, skew-immune:
    Tombstones are retained rows (``_deleted=true``), so apply is fully
    commutative across batches: any partition of the log into micro-batches
    in any order converges to the same state (tested).
-6. **Salted bucket write** — output repartitions by (bucket, salt) so a hot
-   conversation's bucket spreads over ``write_salt`` writer tasks.
+6. **Adaptively salted bucket write** — output repartitions by (bucket,
+   salt); ONLY buckets whose batch volume exceeds a per-reducer target
+   split (up to ``write_salt`` ways), so a hot conversation's bucket
+   spreads over multiple writer tasks while uniform batches stay
+   one-file-per-bucket (uniform salting was measured a net loss).
 7. **Atomic snapshot commit** with per-bucket lineage/metrics.
 
 Replaces the reference's blind per-row INSERT (no key, no dedup — replay
@@ -63,6 +66,26 @@ class ApplyResult:
         return {} if self.snapshot is None else self.snapshot.lineage
 
 
+def _adaptive_salt_counts(bucket_counts: dict[int, int], cap: int,
+                          parallelism: int,
+                          min_rows: int = 200_000) -> dict[int, int]:
+    """The skew census → per-bucket salt fan-out: bucket b splits
+    ``min(cap, ceil(count_b / target))`` ways, where the target is one
+    reducer's fair share of the batch (floored at ``min_rows`` — below
+    that a 'straggler' finishes in under a second and splitting it only
+    multiplies files). Returns {} when NO bucket exceeds the target — the
+    common uniform case, where the apply plan then carries no salt join
+    at all and writes exactly one file per (task, bucket)."""
+    total = sum(bucket_counts.values())
+    target = max(total // max(parallelism, 1), min_rows)
+    out: dict[int, int] = {}
+    for b, n in bucket_counts.items():
+        k = min(cap, -(-n // target))
+        if k > 1:
+            out[b] = k
+    return out
+
+
 def _evolved_schema(table_schema: T.StructType, events: DataFrame) -> T.StructType | None:
     """If the batch carries additive payload columns, return the evolved
     stored schema; None if unchanged. Non-additive changes raise."""
@@ -75,7 +98,8 @@ def _evolved_schema(table_schema: T.StructType, events: DataFrame) -> T.StructTy
 def apply_batch(table: LakeTable,
                 events: Union[DataFrame, Callable[[], DataFrame]], *,
                 stream_id: str | None = None, epoch: int | None = None,
-                write_salt: int = 4, collect_metrics: bool = True,
+                write_salt: int = 4, salt_min_rows: int = 200_000,
+                collect_metrics: bool = True,
                 mode: str = "cow", retries: int = 0) -> ApplyResult:
     """Apply one micro-batch with optimistic-concurrency conflict
     handling. The merge computes against the snapshot current at its
@@ -112,6 +136,7 @@ def apply_batch(table: LakeTable,
         try:
             return _apply_once(table, ev, stream_id=stream_id,
                                epoch=epoch, write_salt=write_salt,
+                               salt_min_rows=salt_min_rows,
                                collect_metrics=collect_metrics, mode=mode)
         except CommitConflictError:
             if attempt == max(retries, 0):
@@ -121,7 +146,8 @@ def apply_batch(table: LakeTable,
 
 def _apply_once(table: LakeTable, events: DataFrame, *,
                 stream_id: str | None = None, epoch: int | None = None,
-                write_salt: int = 4, collect_metrics: bool = True,
+                write_salt: int = 4, salt_min_rows: int = 200_000,
+                collect_metrics: bool = True,
                 mode: str = "cow") -> ApplyResult:
     """Apply one micro-batch of change events. Idempotent three ways:
     by (stream_id, epoch), by per-row ``_lsn`` LWW, and by exact-duplicate
@@ -169,12 +195,16 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
         events = events.observe(obs, F.count(F.lit(1)).alias("n"),
                                 F.max("lsn").alias("max_lsn"))
 
-    # Touched buckets are computable from the RAW events (bucket depends only
-    # on conv_id), so this pass is a cheap map-side-combined distinct
-    # (≤ n_buckets rows/task) — the pruning index for the target read.
+    # Touched buckets (and their event counts) are computable from the RAW
+    # events (bucket depends only on conv_id), so this pass is one cheap
+    # map-side-combined hash aggregation (≤ n_buckets rows/task) — the
+    # pruning index for the target read AND the skew census for the
+    # adaptive write salt.
     bexpr = bucket_expr(snap.bucket_col, snap.n_buckets)
-    touched_rows = (events.select(bexpr.alias("b")).distinct().collect())
+    touched_rows = (events.groupBy(bexpr.alias("b"))
+                    .agg(F.count(F.lit(1)).alias("n")).collect())
     touched = {r["b"] for r in touched_rows}
+    bucket_counts = {r["b"]: r["n"] for r in touched_rows}
     if not touched:
         return ApplyResult(None, skipped=True, events_in=0)
 
@@ -191,8 +221,9 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
     # (_bucket, _salt) and grouping by (_bucket, _salt, conv_id, turn_idx)
     # already satisfies the aggregation's required clustering — Catalyst
     # inserts no second exchange — AND the output is exactly the layout the
-    # bucketed write wants. The salt spreads a hot conversation's bucket
-    # over `write_salt` reducers/writers (the skew defense).
+    # bucketed write wants. The salt spreads a hot bucket over up to
+    # `write_salt` reducers/writers (the skew defense, applied adaptively
+    # below — only where the census says the bucket is actually hot).
     stored_src = winners_to_stored(events)
     if mode == "mor":
         # MOR: dedupe the batch alone (one AQE-sized shuffle on the key)
@@ -217,15 +248,45 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
         rest = [c for c in merged_in.columns
                 if c not in S.KEY_COLS and c not in ("_bucket", "_salt")]
         w = F.struct(*[F.col(c) for c in rest])
-        salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(max(write_salt, 1)))
+        # ADAPTIVE write salt (`write_salt` is the per-bucket CAP): only
+        # buckets whose batch volume exceeds a per-reducer target split,
+        # by ceil(count/target) ways — a hot conversation's bucket spreads
+        # over k reducer/writer tasks while uniform buckets stay UNSALTED
+        # (salt 0). Uniformly salting every bucket was measured 1.5x
+        # SLOWER than no salt at hot_key_fraction=0.1 (BENCH/BASELINE.md
+        # round-4 skew leg): the hot reducer wasn't the critical path and
+        # the salt multiplied output files (and their footer/commit cost)
+        # by `write_salt` for every bucket. The census is free — the
+        # touched-bucket pass already counts per bucket.
+        salt_k = _adaptive_salt_counts(
+            bucket_counts, cap=max(write_salt, 1),
+            parallelism=events.sparkSession.sparkContext.defaultParallelism,
+            min_rows=salt_min_rows)
+        if salt_k:
+            kdf = events.sparkSession.createDataFrame(
+                [(int(b), int(k)) for b, k in salt_k.items()],
+                "_bucket int, _k int")
+            merged_in = (merged_in
+                         .withColumn("_bucket",
+                                     bucket_expr(snap.bucket_col, snap.n_buckets))
+                         .join(F.broadcast(kdf), "_bucket", "left")
+                         .withColumn("_salt",
+                                     F.when(F.col("_k").isNotNull(),
+                                            F.pmod(F.xxhash64(F.col("turn_idx")),
+                                                   F.col("_k")))
+                                     .otherwise(F.lit(0)))
+                         .drop("_k"))
+        else:
+            merged_in = (merged_in
+                         .withColumn("_bucket",
+                                     bucket_expr(snap.bucket_col, snap.n_buckets))
+                         .withColumn("_salt", F.lit(0)))
         # repartition WITHOUT a pinned partition count: a pinned N blocks
         # AQE from coalescing, so a small batch would pay the same N-task
         # scheduling overhead as a 50M-event one. With the count left to
         # AQE, small batches collapse to a few tasks and big batches still
         # spread over spark.sql.shuffle.partitions.
         merged = (merged_in
-                  .withColumn("_bucket", bucket_expr(snap.bucket_col, snap.n_buckets))
-                  .withColumn("_salt", salt)
                   .repartition(F.col("_bucket"), F.col("_salt"))
                   .groupBy("_bucket", "_salt", *S.KEY_COLS)
                   .agg(F.max_by(w, F.col("_lsn")).alias("_w"))

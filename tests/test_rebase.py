@@ -167,3 +167,40 @@ def test_dml_retry_recomputes_lsn(spark, table, monkeypatch):
     # the conversation is GONE: the retried tombstones outrank the
     # competitor's post-conflict upserts
     assert read_state(table).filter(F.col("conv_id") == conv).count() == 0
+
+
+def test_adaptive_salt_counts_unit():
+    from rockefeller_spark.merge import _adaptive_salt_counts
+    # uniform: nobody exceeds the fair share → no salting at all
+    assert _adaptive_salt_counts({b: 1000 for b in range(16)}, cap=8,
+                                 parallelism=8) == {}
+    # one bucket holds half the batch → it alone splits, capped
+    counts = {0: 5_000_000, **{b: 40_000 for b in range(1, 16)}}
+    out = _adaptive_salt_counts(counts, cap=8, parallelism=8)
+    assert set(out) == {0} and 2 <= out[0] <= 8
+    # tiny batches never split (min_rows floor)
+    assert _adaptive_salt_counts({0: 150_000}, cap=8, parallelism=32) == {}
+
+
+def test_adaptive_salt_splits_only_hot_bucket(spark, tmp_path):
+    """A hot conversation's bucket writes multiple files; uniform buckets
+    stay one file per batch — and the state is still exact."""
+    table = LakeTable.create(spark, str(tmp_path / "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=30_000, n_convs=40, seed=50)
+    hot = F.when(F.pmod(F.col("lsn"), F.lit(2)) == 0, F.lit("c-hot")) \
+           .otherwise(F.col("conv_id"))
+    ev = ev.withColumn("conv_id", hot)
+    pdf = ev.toPandas()
+    res = apply_batch(table, ev, write_salt=4, salt_min_rows=2_000)
+    from rockefeller_spark.lake import key_bucket
+    hot_bucket = key_bucket("c-hot", 4)
+    per_bucket = {}
+    for f in table.current().files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    # the hot bucket split across salt tasks; at least one other bucket
+    # stayed single-file (AQE may merge small buckets into one task each)
+    assert per_bucket[hot_bucket] > 1
+    assert min(v for b, v in per_bucket.items() if b != hot_bucket) == 1
+    want = _expected_state(spark, spark.createDataFrame(pdf, ev.schema))
+    assert _visible(table) == want
