@@ -157,8 +157,20 @@ def main() -> None:
 
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # regenerate only the harness-owned header (calibration + engine
+    # scaling + raw JSON); every hand-written section below the first
+    # non-generated "## " heading is preserved verbatim
+    tail = ""
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            old = fh.read()
+        idx = old.find("\n## Session history")
+        if idx != -1:
+            tail = old[idx + 1:]
     with open(out_path, "w") as fh:
         fh.write("\n".join(lines))
+        if tail:
+            fh.write("\n" + tail)
     print("\n".join(lines))
     print(f"wrote {out_path}")
 
