@@ -272,6 +272,13 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
             parallelism=max(n_reducers,
                             spark_.sparkContext.defaultParallelism),
             min_rows=salt_min_rows)
+        # NOTE the salt column must stay a NON-FOLDABLE expression even in
+        # the all-ones case: a literal `_salt` gets constant-folded, the
+        # repartition's HashPartitioning then no longer satisfies the
+        # aggregation's required clustering, Catalyst inserts a SECOND
+        # exchange on the full (bucket, salt, key) set, and the bucketed
+        # write degrades to every-task-writes-every-bucket (measured 10x
+        # the file count and 7x the wall on the trickle leg).
         if salt_k:
             kdf = events.sparkSession.createDataFrame(
                 [(int(b), int(k)) for b, k in salt_k.items()],
@@ -281,16 +288,16 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
                                      bucket_expr(snap.bucket_col, snap.n_buckets))
                          .join(F.broadcast(kdf), "_bucket", "left")
                          .withColumn("_salt",
-                                     F.when(F.col("_k").isNotNull(),
-                                            F.pmod(F.xxhash64(F.col("turn_idx")),
-                                                   F.col("_k")))
-                                     .otherwise(F.lit(0)))
+                                     F.pmod(F.xxhash64(F.col("turn_idx")),
+                                            F.coalesce(F.col("_k"), F.lit(1))))
                          .drop("_k"))
         else:
             merged_in = (merged_in
                          .withColumn("_bucket",
                                      bucket_expr(snap.bucket_col, snap.n_buckets))
-                         .withColumn("_salt", F.lit(0)))
+                         .withColumn("_salt",
+                                     F.pmod(F.xxhash64(F.col("turn_idx")),
+                                            F.lit(1))))
         # repartition WITHOUT a pinned partition count: a pinned N blocks
         # AQE from coalescing, so a small batch would pay the same N-task
         # scheduling overhead as a 50M-event one. With the count left to
