@@ -77,6 +77,20 @@ def test_rebase_on_disjoint_compaction(spark, table, monkeypatch):
     _inject_conflict(monkeypatch, table,
                      lambda: table.compact(buckets=others))
 
+    # wrap the rebase itself in a Spark job group: a rebase is pure
+    # metadata, so ZERO Spark jobs may run inside it
+    import rockefeller_spark.merge as M
+    real_rebase = M._rebase_commit
+
+    def grouped_rebase(*args, **kwargs):
+        sc = spark.sparkContext
+        sc.setJobGroup("rebase-window", "must run no jobs")
+        try:
+            return real_rebase(*args, **kwargs)
+        finally:
+            sc.setJobGroup("", "")
+    monkeypatch.setattr(M, "_rebase_commit", grouped_rebase)
+
     more = gen.gen_change_events(spark, n_events=10, n_convs=1, seed=33)
     res = apply_batch(table, more, retries=2)
     assert res.rebased
@@ -84,6 +98,9 @@ def test_rebase_on_disjoint_compaction(spark, table, monkeypatch):
     assert res.snapshot.lineage["rebased_onto"] == 3
     # ONE stage write for the apply + one for the compaction — no restage
     assert stages["n"] == 2
+    # and the conflict resolution launched zero Spark jobs
+    assert spark.sparkContext.statusTracker() \
+        .getJobIdsForGroup("rebase-window") == []
     # state exact: both batches and the compaction all landed
     want = _expected_state(spark, ev.unionByName(one).unionByName(more))
     assert _visible(table) == want
@@ -204,3 +221,25 @@ def test_adaptive_salt_splits_only_hot_bucket(spark, tmp_path):
     assert min(v for b, v in per_bucket.items() if b != hot_bucket) == 1
     want = _expected_state(spark, spark.createDataFrame(pdf, ev.schema))
     assert _visible(table) == want
+
+
+def test_salt_config_invariance(spark, tmp_path):
+    """LWW semantics are independent of the salt configuration: the same
+    stream applied under no-salt, adaptive, and forced-aggressive salting
+    converges to the identical visible state (the salt only moves rows
+    between reducers/files, never across (bucket, key) groups)."""
+    ev = gen.gen_change_events(spark, n_events=4000, n_convs=25, seed=55)
+    hot = F.when(F.pmod(F.col("lsn"), F.lit(3)) == 0, F.lit("c-hot")) \
+           .otherwise(F.col("conv_id"))
+    ev = ev.withColumn("conv_id", hot)
+    pdf = ev.toPandas()
+    states = []
+    for salt, min_rows in ((1, 200_000), (8, 500), (16, 1)):
+        t = LakeTable.create(spark, str(tmp_path / f"t{salt}-{min_rows}"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+        for k in range(3):   # out-of-order micro-batches
+            chunk = spark.createDataFrame(pdf[pdf.lsn % 3 == (2 - k)],
+                                          ev.schema)
+            apply_batch(t, chunk, write_salt=salt, salt_min_rows=min_rows)
+        states.append(_visible(t))
+    assert states[0] == states[1] == states[2]
