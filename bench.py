@@ -13,7 +13,10 @@ Env knobs:
   BENCH_EVENTS         CDC event count   (default 50_000_000)
   BENCH_BATCHES        micro-batches     (default 4)
   BENCH_BUCKETS        table key buckets (default 256)
+  BENCH_REPEATS        best-of-N for the apply legs (default 2)
   BENCH_APPLY_ONLY     skip registry queries (for the scaling harness)
+  BENCH_MOR / BENCH_SKEW / BENCH_READS / BENCH_COMPACT / BENCH_FEED
+                       "0" disables the corresponding leg (default all on)
 
 The same job runs unchanged at any parallelism — the N-vs-4N scaling
 evidence in BENCH/BASELINE.md is produced by bench/scaling.py running this
