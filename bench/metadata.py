@@ -1,17 +1,25 @@
-"""Metadata-commit cost curve: monolithic file-list JSON (the round-3
-design) vs manifest-sharded snapshots (round 4), at 10^4 / 10^5 / 10^6
-DataFile entries.
+"""Metadata cost curves: monolithic file-list JSON (the round-3 design)
+vs manifest-sharded snapshots (round 4) vs range-split shards + pruned
+metadata reads (round 5), at 10^4 / 10^5 / 10^6 / 10^7 DataFile entries.
 
 What is measured per table size F (driver-side, no Spark):
 
 - ``monolithic_commit_sec``: serialize + fsync ALL F file entries into one
-  snapshot JSON — what every commit paid before sharding, O(F) per commit.
+  snapshot JSON — what every commit paid before sharding, O(F) per commit
+  (skipped at 10^7: a ~1.4 GB JSON per commit speaks for itself).
 - ``sharded_commit_sec``: a real ``LakeTable.commit`` of a 1-bucket change
   (1 add + 1 remove) against a table whose manifests already hold F
-  entries — rewrites ONE shard (~F/n_shards entries) + the manifest list.
+  entries — rewrites only the covering shard(s); with range SPLITTING the
+  rewritten shard is capped at ``manifest_target_entries`` files, so this
+  stays flat as F grows (round 4's fixed 32-shard grid crept back up as
+  O(F/32)).
+- ``pruned_lookup_sec``: ``files_for({one bucket})`` with a COLD cache —
+  the point-read metadata bill (round 4 loaded every shard here: O(F);
+  round 5 loads the covering shard only, flat in F).
 - ``sharded_cold_load_sec``: full ``snapshot().files`` materialization from
-  disk with a cold cache (readers still pay O(F) once per process; commits
-  no longer do).
+  disk with a cold cache — what a full-table scan's planning still pays
+  once per process, O(F) by necessity (it returns every entry).
+- ``n_shards``: manifest-shard count — grows with F via range splits.
 
 Run:  python bench/metadata.py
 """
@@ -57,11 +65,14 @@ def bench_monolithic(files: list[DataFile], tmp: str) -> float:
 
 def main() -> None:
     out = {}
-    for n in (10_000, 100_000, 1_000_000):
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
         tmp = tempfile.mkdtemp(prefix="rk-metabench-")
         try:
             files = synth_files(n)
-            mono_wall, mono_bytes = bench_monolithic(files, tmp)
+            if n <= 1_000_000:
+                mono_wall, mono_bytes = bench_monolithic(files, tmp)
+            else:
+                mono_wall = mono_bytes = None
 
             # a real sharded table seeded with n files (seed commit cost is
             # excluded; it is the one-time backfill, not the steady state)
@@ -85,6 +96,16 @@ def main() -> None:
             table.commit([add], rm)
             sharded_wall = time.perf_counter() - t0
 
+            # pruned point-read metadata bill (cold cache): one bucket's
+            # file list — must stay flat in F (loads covering shards only)
+            table._manifest_cache = {}
+            snap = table.snapshot(table.current_version())
+            t0 = time.perf_counter()
+            hits = snap.files_for({7})
+            lookup_wall = time.perf_counter() - t0
+            assert hits and all(f.bucket == 7 for f in hits)
+            shards_loaded = len(table._manifest_cache)
+
             # reader cold-load (fresh cache, fresh Snapshot)
             table._manifest_cache = {}
             t0 = time.perf_counter()
@@ -94,12 +115,17 @@ def main() -> None:
 
             list_bytes = os.path.getsize(table._meta_path(1))
             out[n] = {
-                "monolithic_commit_sec": round(mono_wall, 4),
+                "monolithic_commit_sec": (round(mono_wall, 4)
+                                          if mono_wall is not None else None),
                 "monolithic_bytes": mono_bytes,
                 "sharded_commit_sec": round(sharded_wall, 4),
+                "pruned_lookup_sec": round(lookup_wall, 4),
+                "lookup_shards_loaded": shards_loaded,
+                "n_shards": len(snap.manifests),
                 "manifest_list_bytes": list_bytes,
                 "sharded_cold_load_sec": round(cold_wall, 4),
-                "speedup": round(mono_wall / sharded_wall, 1),
+                "speedup": (round(mono_wall / sharded_wall, 1)
+                            if mono_wall is not None else None),
             }
             print(f"F={n}: {out[n]}")
         finally:

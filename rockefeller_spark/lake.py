@@ -28,10 +28,36 @@ The reference's sink was per-row INSERT + per-entity commit + per-row
 rollback (``/root/reference/scripts/collector.py:54-69,139-141``); here a
 commit is an all-or-nothing snapshot and bad rows are pre-filtered, never
 rolled back.
+
+**Commit-protocol portability (the object-store deployment seam).** The
+protocol above relies on exactly THREE filesystem primitives, each of
+which must be replaced for an S3-class object store (where a real 100-TB
+deployment lives; plain S3 has no atomic rename and only conditional
+PUT). Everything else — immutable data files, immutable content-addressed
+manifest shards, orphan semantics, snapshot layout — is already
+object-store-shaped (write-once blobs, never renamed after staging):
+
+1. ``O_EXCL`` exclusive create of ``metadata/v{N}.json`` (the version
+   race, ``_write_snapshot``) → a conditional PUT (``If-None-Match: *``,
+   supported by S3/GCS/Azure) or a catalog CAS (Iceberg's model: the
+   catalog swaps the metadata pointer transactionally).
+2. Atomic ``rename`` of ``version-hint.text`` (the readers' pointer) →
+   the same catalog pointer swap; with a catalog, the hint file
+   disappears entirely and readers ask the catalog for the current
+   metadata location.
+3. ``.maint.lock`` ``O_EXCL`` create + atomic-rename stale-break (the
+   maintenance mutex) → a lease with TTL in a transactional store
+   (DynamoDB conditional update, a catalog lock table) — the token +
+   stale-break semantics carry over one-to-one.
+
+This sandbox has no object store to test against, so the POSIX forms are
+what run here; the three call sites above are the complete list a
+backend port touches.
 """
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import re
@@ -92,40 +118,74 @@ class DataFile:
 @dataclass
 class ManifestEntry:
     """One immutable manifest file (a shard of the table's file list) as
-    referenced from a snapshot: path + aggregate stats, Iceberg
-    manifest-list analog. Untouched shards carry the SAME entry (same
-    path) from snapshot to snapshot, so a commit serializes only the
-    shards it changed — O(batch + files/shard), not O(total files)."""
+    referenced from a snapshot: the bucket RANGE it covers + aggregate
+    stats, Iceberg manifest-list analog. Untouched shards carry the SAME
+    entry (same path) from snapshot to snapshot, so a commit serializes
+    only the shards it changed — O(batch + files/shard), not O(total
+    files) — and a pruned read loads only the shards whose range
+    intersects the requested buckets (:meth:`Snapshot.files_for`).
+
+    ``[lo, hi)`` is a half-open key-bucket range; live entries' ranges
+    are pairwise DISJOINT (maintained by ``_rebuild_manifests``), so the
+    covering shard set for any bucket is computable from the manifest
+    list alone, with zero manifest I/O. ``lo = hi = None`` marks the
+    bucket-spanning merge-on-read delta shard. A shard whose entry count
+    outgrows ``manifest_target_entries`` is SPLIT into contiguous
+    sub-ranges the next time a commit touches it — the shard count grows
+    with the table, keeping the per-commit rewrite O(target) at any
+    file count."""
     path: str          # relative to table root, metadata/m-*.json
-    shard: int         # DELTA_SHARD for the bucket-spanning delta shard
+    lo: int | None     # bucket range [lo, hi); None/None = delta shard
+    hi: int | None
     n_files: int
     rows: int
     min_lsn: int | None = None
     max_lsn: int | None = None
 
+    def covers(self, bucket: int) -> bool:
+        return self.lo is not None and self.lo <= bucket < self.hi
+
     def to_json(self) -> dict[str, Any]:
-        return {"path": self.path, "shard": self.shard,
+        return {"path": self.path, "lo": self.lo, "hi": self.hi,
                 "n_files": self.n_files, "rows": self.rows,
                 "min_lsn": self.min_lsn, "max_lsn": self.max_lsn}
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "ManifestEntry":
-        return ManifestEntry(d["path"], d["shard"], d["n_files"], d["rows"],
+        return ManifestEntry(d["path"], d.get("lo"), d.get("hi"),
+                             d["n_files"], d["rows"],
                              d.get("min_lsn"), d.get("max_lsn"))
 
 
+# A manifest shard is split once it holds more than this many DataFile
+# entries, so commit cost stays O(target + adds) at ANY table file count
+# (10^8 files ≈ 12k shards ≈ a ~1.5 MB manifest list — still driver-trivial).
+MANIFEST_TARGET_ENTRIES = 8192
+
+
 def n_shards_for(n_buckets: int) -> int:
-    """Manifest shard count for a bucket count: enough shards that one
-    shard's rewrite stays small, few enough that the manifest LIST in the
-    snapshot stays tiny. 32 shards at 4096 buckets = 128 buckets/shard."""
+    """INITIAL manifest-shard grid for a bucket count: enough shards that
+    one shard's rewrite stays small, few enough that the manifest LIST in
+    the snapshot stays tiny (32 shards at 4096 buckets = 128 buckets/
+    shard). Growth beyond the grid happens by SPLITTING: a shard that
+    exceeds ``MANIFEST_TARGET_ENTRIES`` files is rewritten as multiple
+    contiguous sub-ranges when next touched."""
     return max(1, min(32, n_buckets))
 
 
 def shard_of(bucket: int | None, n_buckets: int, n_shards: int) -> int:
-    """Contiguous bucket-range sharding (bucket b -> shard b*S//B)."""
+    """Contiguous bucket-range grid (bucket b -> shard b*S//B)."""
     if bucket is None:
         return DELTA_SHARD
     return bucket * n_shards // n_buckets
+
+
+def grid_range(shard: int, n_buckets: int, n_shards: int) -> tuple[int, int]:
+    """The bucket range [lo, hi) of grid cell ``shard`` — the exact
+    preimage of :func:`shard_of` (b*S//B == s  ⟺  ceil(sB/S) ≤ b <
+    ceil((s+1)B/S))."""
+    return (-(-shard * n_buckets // n_shards),
+            -(-(shard + 1) * n_buckets // n_shards))
 
 
 class Snapshot:
@@ -174,6 +234,31 @@ class Snapshot:
             self._files = [f for e in self.manifests
                            for f in self._loader(e.path)]
         return self._files
+
+    def files_for(self, buckets: set[int] | None) -> list[DataFile]:
+        """The data files relevant to the given key buckets, loading ONLY
+        the manifest shards whose bucket range intersects (plus any delta
+        shards, filtered by their recorded touched-bucket sets) — the
+        read-side twin of the commit path's touched-shard rewrite. A
+        one-bucket lookup against a 10^8-file table loads one shard's
+        manifest, not the full file list. ``buckets=None`` returns every
+        file (materializing all shards)."""
+        if buckets is None:
+            return self.files
+
+        def keep(f: DataFile) -> bool:
+            if f.bucket is not None:
+                return f.bucket in buckets
+            return f.buckets is None or not buckets.isdisjoint(f.buckets)
+
+        if self._files is not None or self.manifests is None \
+                or self._loader is None:
+            return [f for f in self.files if keep(f)]
+        out: list[DataFile] = []
+        for e in self.manifests:
+            if e.lo is None or any(e.lo <= b < e.hi for b in buckets):
+                out.extend(f for f in self._loader(e.path) if keep(f))
+        return out
 
     def to_json(self) -> dict[str, Any]:
         if self.manifests is None:
@@ -319,6 +404,9 @@ def key_bucket(key_value: str, n_buckets: int) -> int:
 class LakeTable:
     """Handle on one icelake table rooted at ``path``."""
 
+    # shard-split threshold; class-level so tests can lower it per table
+    manifest_target_entries = MANIFEST_TARGET_ENTRIES
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
@@ -408,7 +496,8 @@ class LakeTable:
             self._manifest_cache[rel_path] = files
         return files
 
-    def _write_manifest(self, files: list[DataFile], shard: int) -> ManifestEntry:
+    def _write_manifest(self, files: list[DataFile], lo: int | None,
+                        hi: int | None) -> ManifestEntry:
         rel = os.path.join("metadata", f"m-{uuid.uuid4().hex}.json")
         fd = os.open(os.path.join(self.path, rel),
                      os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -420,10 +509,46 @@ class LakeTable:
         self._manifest_cache[rel] = list(files)
         lsns = [f.min_lsn for f in files if f.min_lsn is not None]
         lsnx = [f.max_lsn for f in files if f.max_lsn is not None]
-        return ManifestEntry(rel, shard, len(files),
+        return ManifestEntry(rel, lo, hi, len(files),
                              sum(f.rows for f in files),
                              min(lsns) if lsns else None,
                              max(lsnx) if lsnx else None)
+
+    def _emit_range(self, files: list[DataFile], lo: int, hi: int
+                    ) -> list[ManifestEntry]:
+        """Write one bucket range's files as manifest shard(s), SPLITTING
+        into contiguous sub-ranges (balanced by file count, boundaries on
+        bucket edges) when the count exceeds ``manifest_target_entries``
+        — the shard-growth mechanism that keeps each shard's rewrite cost
+        bounded as the table's file count grows. A single bucket cannot
+        split below itself (its files stay one shard however many)."""
+        target = self.manifest_target_entries
+        if len(files) <= target or hi - lo <= 1:
+            return [self._write_manifest(files, lo, hi)]
+        by_b: dict[int, list[DataFile]] = {}
+        for f in files:
+            by_b.setdefault(f.bucket, []).append(f)
+        k = min(-(-len(files) // target), hi - lo)
+        share = -(-len(files) // k)
+        out: list[ManifestEntry] = []
+        cur: list[DataFile] = []
+        cur_lo = lo
+        for b in sorted(by_b):
+            if cur and len(cur) + len(by_b[b]) > share and len(out) < k - 1:
+                out.append(self._write_manifest(cur, cur_lo, b))
+                cur, cur_lo = [], b
+            cur.extend(by_b[b])
+        out.append(self._write_manifest(cur, cur_lo, hi))
+        return out
+
+    def _emit_delta(self, files: list[DataFile]) -> list[ManifestEntry]:
+        """Write the bucket-spanning delta files' manifest shard(s),
+        chunked by ``manifest_target_entries`` (pending deltas stay few
+        under routine compaction; the chunking is the same growth
+        backstop as :meth:`_emit_range`)."""
+        target = self.manifest_target_entries
+        return [self._write_manifest(files[i:i + target], None, None)
+                for i in range(0, len(files), target)]
 
     def _shard_all(self, files: list[DataFile], n_buckets: int
                    ) -> list[ManifestEntry]:
@@ -431,21 +556,32 @@ class LakeTable:
         bucket rescale — operations that rewrite everything anyway)."""
         ns = n_shards_for(n_buckets)
         by_shard: dict[int, list[DataFile]] = {}
+        deltas: list[DataFile] = []
         for f in files:
-            by_shard.setdefault(shard_of(f.bucket, n_buckets, ns), []).append(f)
-        return [self._write_manifest(fs, s)
-                for s, fs in sorted(by_shard.items())]
+            if f.bucket is None:
+                deltas.append(f)
+            else:
+                by_shard.setdefault(
+                    shard_of(f.bucket, n_buckets, ns), []).append(f)
+        out: list[ManifestEntry] = []
+        for s, fs in sorted(by_shard.items()):
+            lo, hi = grid_range(s, n_buckets, ns)
+            out.extend(self._emit_range(fs, lo, hi))
+        if deltas:
+            out.extend(self._emit_delta(deltas))
+        return out
 
     @staticmethod
     def _path_bucket(path: str) -> int | None:
         """A data file's bucket, recovered from its name (``_stage_write``
-        pins it there: ``-b{bucket:05d}.parquet`` / ``-delta.parquet``) —
-        lets a commit locate a removed file's manifest shard without
-        loading any untouched manifest."""
+        pins it there: ``-b{bucket:05d}.parquet`` — the format string
+        widens past 5 digits for bucket ids ≥ 100000, hence ``\\d{5,}`` —
+        / ``-delta.parquet``) — lets a commit locate a removed file's
+        manifest shard without loading any untouched manifest."""
         name = os.path.basename(path)
         if name.endswith("-delta.parquet"):
             return None
-        m = re.search(r"-b(\d{5})\.parquet$", name)
+        m = re.search(r"-b(\d{5,})\.parquet$", name)
         if m is None:
             raise ValueError(f"data file name carries no bucket: {path}")
         return int(m.group(1))
@@ -454,26 +590,96 @@ class LakeTable:
                            remove_paths: set[str]) -> list[ManifestEntry]:
         """The incremental-commit core: carry every untouched shard's
         manifest entry forward VERBATIM (no load, no serialize) and
-        rewrite only shards that gained or lost files. Commit metadata
-        cost is O(adds + removes + files-in-touched-shards + n_shards),
-        independent of total table file count."""
-        ns = n_shards_for(base.n_buckets)
-        add_by_shard: dict[int, list[DataFile]] = {}
-        for f in adds:
-            add_by_shard.setdefault(
-                shard_of(f.bucket, base.n_buckets, ns), []).append(f)
-        touched = set(add_by_shard)
-        touched.update(shard_of(self._path_bucket(p), base.n_buckets, ns)
-                       for p in remove_paths)
+        rewrite only shards whose bucket range intersects the commit's
+        touched buckets. Commit metadata cost is O(adds + removes +
+        files-in-touched-shards + n_shards), independent of total table
+        file count. Maintains the invariant that live range entries are
+        pairwise DISJOINT: rewritten shards keep their ranges (splitting
+        when over ``manifest_target_entries``); buckets no existing entry
+        covers get fresh ranges carved from the UNCOVERED gaps, aligned
+        to the initial grid so a young table shards exactly as
+        :meth:`_shard_all` would."""
         base_entries = base.manifests or []
-        out = [e for e in base_entries if e.shard not in touched]
-        for shard in sorted(touched):
-            files = [f for e in base_entries if e.shard == shard
+        range_entries = [e for e in base_entries if e.lo is not None]
+        delta_entries = [e for e in base_entries if e.lo is None]
+
+        add_range = [f for f in adds if f.bucket is not None]
+        delta_adds = [f for f in adds if f.bucket is None]
+        touched_b = {f.bucket for f in add_range}
+        delta_touched = bool(delta_adds)
+        for p in remove_paths:
+            b = self._path_bucket(p)
+            if b is None:
+                delta_touched = True
+            else:
+                touched_b.add(b)
+
+        tb = sorted(touched_b)
+
+        def hits(lo: int, hi: int) -> bool:
+            i = bisect.bisect_left(tb, lo)
+            return i < len(tb) and tb[i] < hi
+
+        out: list[ManifestEntry] = []
+        pool: list[DataFile] = list(add_range)
+        ranges: list[tuple[int, int]] = []
+        for e in range_entries:
+            if hits(e.lo, e.hi):
+                ranges.append((e.lo, e.hi))
+                pool.extend(f for f in self._load_manifest(e.path)
+                            if f.path not in remove_paths)
+            else:
+                out.append(e)
+
+        occupied = sorted((e.lo, e.hi) for e in range_entries)
+        olos = [r[0] for r in occupied]
+
+        def covering(b: int) -> tuple[int, int] | None:
+            i = bisect.bisect_right(olos, b) - 1
+            if i >= 0 and occupied[i][0] <= b < occupied[i][1]:
+                return occupied[i]
+            return None
+
+        uncovered = [b for b in tb if covering(b) is None]
+        if uncovered:
+            # carve grid-aligned ranges out of the gaps between existing
+            # entries (disjointness preserved: gaps are the complement of
+            # every live range, grid cells are disjoint among themselves)
+            ns = n_shards_for(base.n_buckets)
+            fresh: set[tuple[int, int]] = set()
+            for b in uncovered:
+                i = bisect.bisect_right(olos, b) - 1
+                gap_lo = occupied[i][1] if i >= 0 else 0
+                gap_hi = (occupied[i + 1][0] if i + 1 < len(occupied)
+                          else base.n_buckets)
+                clo, chi = grid_range(shard_of(b, base.n_buckets, ns),
+                                      base.n_buckets, ns)
+                fresh.add((max(clo, gap_lo), min(chi, gap_hi)))
+            ranges.extend(sorted(fresh))
+
+        pool.sort(key=lambda f: f.bucket)
+        pbuckets = [f.bucket for f in pool]
+        assigned = 0
+        for lo, hi in sorted(ranges):
+            fs = pool[bisect.bisect_left(pbuckets, lo):
+                      bisect.bisect_left(pbuckets, hi)]
+            assigned += len(fs)
+            if fs:
+                out.extend(self._emit_range(fs, lo, hi))
+        if assigned != len(pool):       # disjoint ranges ⇒ exact partition
+            raise AssertionError(
+                f"manifest rebuild lost files: {len(pool)} pooled, "
+                f"{assigned} assigned to ranges {sorted(ranges)}")
+
+        if delta_touched:
+            dpool = [f for e in delta_entries
                      for f in self._load_manifest(e.path)
                      if f.path not in remove_paths]
-            files.extend(add_by_shard.get(shard, []))
-            if files:
-                out.append(self._write_manifest(files, shard))
+            dpool.extend(delta_adds)
+            if dpool:
+                out.extend(self._emit_delta(dpool))
+        else:
+            out.extend(delta_entries)
         return out
 
     def history(self) -> list[Snapshot]:
@@ -702,8 +908,8 @@ class LakeTable:
         """Copy-on-write: replace exactly the files of ``buckets`` with the
         rows of ``df`` (which must contain only those buckets)."""
         snap = self.current()
-        remove = {f.path for f in snap.files
-                  if f.bucket is not None and f.bucket in buckets}
+        remove = {f.path for f in snap.files_for(buckets)
+                  if f.bucket is not None}
         adds = self._stage_write(df, snap.n_buckets, snap.bucket_col, write_salt)
         bad = {f.bucket for f in adds} - buckets
         if bad:
@@ -726,12 +932,15 @@ class LakeTable:
         """Snapshot-pinned read. Old files lacking newer (evolved) columns
         are null-filled because the read uses the snapshot's full schema.
         ``buckets`` prunes to the named key buckets via file stats — no
-        scan of untouched BUCKETED files ever happens; bucket-spanning
-        merge-on-read delta files (bucket=None) are included only when
-        their recorded touched-bucket set (``DataFile.buckets``, stamped
-        at append time) intersects — an unannotated delta is always
-        included. ``as_of`` reads the snapshot current at that timestamp
-        (:meth:`snapshot_as_of`) instead of by id."""
+        scan of untouched BUCKETED files ever happens, and only the
+        manifest shards covering those buckets are even LOADED
+        (:meth:`Snapshot.files_for` — driver metadata cost O(covering
+        shards), not O(table)); bucket-spanning merge-on-read delta files
+        (bucket=None) are included only when their recorded touched-bucket
+        set (``DataFile.buckets``, stamped at append time) intersects — an
+        unannotated delta is always included. ``as_of`` reads the snapshot
+        current at that timestamp (:meth:`snapshot_as_of`) instead of by
+        id."""
         if as_of is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or as_of, not both")
@@ -739,12 +948,7 @@ class LakeTable:
         else:
             snap = (self.snapshot(snapshot_id) if snapshot_id is not None
                     else self.current())
-        files = snap.files
-        if buckets is not None:
-            files = [f for f in files
-                     if (f.bucket in buckets if f.bucket is not None
-                         else (f.buckets is None
-                               or not buckets.isdisjoint(f.buckets)))]
+        files = snap.files_for(buckets)
         if not files:
             return self.spark.createDataFrame([], snap.schema)
         paths = [os.path.join(self.path, f.path) for f in files]
@@ -804,7 +1008,7 @@ class LakeTable:
             # rows (bucket unknown until rewrite) are attributed uniformly
             per_bucket: dict[int, int] = {}
             delta_rows = 0
-            for f in snap.files:
+            for f in snap.files_for(buckets):
                 if f.bucket is None:
                     delta_rows += f.rows
                 else:
@@ -825,8 +1029,8 @@ class LakeTable:
                 raise ValueError(
                     f"compaction produced rows outside the requested "
                     f"buckets {sorted(bad)}")
-            remove = {f.path for f in snap.files
-                      if f.bucket is not None and f.bucket in buckets}
+            remove = {f.path for f in snap.files_for(buckets)
+                      if f.bucket is not None}
         return self.commit(adds, remove,
                            lineage={"op": "compact",
                                     "buckets": (sorted(buckets)
@@ -872,22 +1076,33 @@ class LakeTable:
 
     @contextmanager
     def _maintenance_lock(self, timeout_s: float = 60.0,
-                          stale_s: float = 600.0):
+                          stale_s: float = 3600.0):
         """Single-maintenance-writer mutex for operations that either
         DELETE files (``expire_snapshots``) or RE-REFERENCE old files
         (``rollback``). Without it, a rollback whose target fell outside
         the retention window can commit a snapshot pointing at files a
         concurrently-running expire just deleted. Normal commits (apply /
         compact / DML) never take the lock — they only add files and are
-        serialized by optimistic versioning. Crash-safety: a lock older
-        than ``stale_s`` is treated as a dead holder's leftover and
-        broken."""
+        serialized by optimistic versioning.
+
+        Crash-safety without TOCTOU races: the lock file carries an
+        OWNERSHIP TOKEN, and a lock older than ``stale_s`` (a dead
+        holder's leftover) is broken by an atomic RENAME to a waiter-
+        unique name — only the waiter whose rename succeeded deletes, so
+        two waiters can never each remove a lock and both acquire (the
+        plain-unlink break let the second remove delete the first
+        winner's FRESH lock). Release verifies the token before
+        unlinking, so a holder whose lock was stale-broken (it outlived
+        ``stale_s``; the default is sized generously above any
+        expire/rollback wall for exactly this reason) does not remove
+        its successor's lock on the way out."""
         lock = os.path.join(self.meta_dir, MAINT_LOCK)
+        token = uuid.uuid4().hex
         deadline = time.time() + timeout_s
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.write(fd, f"{token} {os.getpid()} {time.time()}".encode())
                 os.close(fd)
                 break
             except FileExistsError:
@@ -896,10 +1111,12 @@ class LakeTable:
                 except FileNotFoundError:
                     continue
                 if age > stale_s:
+                    broken = f"{lock}.broken-{token}"
                     try:
-                        os.remove(lock)
+                        os.rename(lock, broken)   # atomic: one winner
+                        os.remove(broken)
                     except FileNotFoundError:
-                        pass
+                        pass                      # another waiter broke it
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(
@@ -910,9 +1127,15 @@ class LakeTable:
             yield
         finally:
             try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+                with open(lock) as fh:
+                    owner = fh.read().split(" ", 1)[0]
+            except (FileNotFoundError, OSError):
+                owner = None
+            if owner == token:
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
 
     def rollback(self, snapshot_id: int) -> Snapshot:
         """Roll the table back to a previous snapshot's STATE as a new
@@ -1083,7 +1306,21 @@ class LakeTable:
                     "retained": [s.snapshot_id for s in retained]}
 
     def stats(self) -> dict[str, Any]:
+        """Table statistics from the MANIFEST LIST alone — zero manifest
+        (and zero data) loads on a sharded table, O(n_shards) driver
+        work at any file count (the entries carry per-shard n_files /
+        rows / lsn aggregates). Every ``delete_where``/``update_where``
+        calls this for its high-water LSN, so it must stay metadata-flat."""
         snap = self.current()
+        if snap.manifests is not None and snap._files is None:
+            return {
+                "snapshot_id": snap.snapshot_id,
+                "n_files": sum(e.n_files for e in snap.manifests),
+                "rows": sum(e.rows for e in snap.manifests),
+                "n_buckets": snap.n_buckets,
+                "max_lsn": max((e.max_lsn for e in snap.manifests
+                                if e.max_lsn is not None), default=None),
+            }
         return {
             "snapshot_id": snap.snapshot_id,
             "n_files": len(snap.files),
@@ -1093,16 +1330,20 @@ class LakeTable:
                             if f.max_lsn is not None), default=None),
         }
 
-    def applied_lsns(self) -> DataFrame:
+    def applied_lsns(self, buckets: set[int] | None = None) -> DataFrame:
         """Dedup-state view (FIXTURES.md §4): per-bucket high-water mark of
         applied LSNs, derived from file stats — the engine's durable
         ``applied_lsns(part_key, max_lsn, epoch)`` table. Bucket-spanning
         MOR delta files are excluded, so the marks are a LOWER bound while
         deltas are pending — safe for the prefilter (it only ever drops
-        events at or below a mark; a lower bound drops fewer)."""
+        events at or below a mark; a lower bound drops fewer). ``buckets``
+        restricts the view to the named buckets AND loads only their
+        covering manifest shards — the shape a per-batch prefilter wants
+        (marks for the batch's touched buckets, O(covering shards)
+        metadata, not O(table))."""
         snap = self.current()
         hwm: dict[int, int] = {}
-        for f in snap.files:
+        for f in snap.files_for(buckets):
             if f.bucket is not None and f.max_lsn is not None:
                 hwm[f.bucket] = max(hwm.get(f.bucket, -1), f.max_lsn)
         rows = [(str(b), lsn, snap.snapshot_id) for b, lsn in sorted(hwm.items())]

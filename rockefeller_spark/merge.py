@@ -354,8 +354,11 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
         remove: set[str] = set()       # pure append; deltas resolve at read
         multi_version = True
     else:
-        remove = {f.path for f in snap.files
-                  if f.bucket is not None and f.bucket in touched}
+        # shard-pruned listing: only the touched buckets' covering
+        # manifest shards load — the remove set costs O(batch), not
+        # O(table file count), driver-side
+        remove = {f.path for f in snap.files_for(touched)
+                  if f.bucket is not None}
         multi_version = None           # inherit (a CoW apply resolves only
                                        # the buckets it touched)
     rebased = False
@@ -421,8 +424,8 @@ def _rebase_commit(table: LakeTable, expected: Snapshot,
                 return None                   # base expired mid-flight
             if diff is None or diff & touched:
                 return None
-            remove = {f.path for f in cur.files
-                      if f.bucket is not None and f.bucket in touched}
+            remove = {f.path for f in cur.files_for(touched)
+                      if f.bucket is not None}
             multi_version = None
         else:
             remove = set()

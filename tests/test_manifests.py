@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 
 from rockefeller_spark import gen
 from rockefeller_spark.feed import changes_between, changes_since
-from rockefeller_spark.lake import (DELTA_SHARD, LakeTable, changed_buckets,
+from rockefeller_spark.lake import (DELTA_SHARD, DataFile, LakeTable,
+                                    changed_buckets, grid_range,
                                     n_shards_for, shard_of)
 from rockefeller_spark.merge import apply_batch, bootstrap, read_state
 from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
@@ -32,6 +33,9 @@ def _manifest_files(table):
 def test_path_bucket_roundtrip():
     assert LakeTable._path_bucket("data/abc-b00012.parquet") == 12
     assert LakeTable._path_bucket("data/abc-delta.parquet") is None
+    # bucket ids >= 100000 widen past 5 digits (ADVICE r4: the 5-digit
+    # regex wedged any commit removing files on a >=100k-bucket table)
+    assert LakeTable._path_bucket(f"data/abc-b{123456:05d}.parquet") == 123456
     with pytest.raises(ValueError):
         LakeTable._path_bucket("data/garbage.parquet")
 
@@ -43,6 +47,29 @@ def test_shard_of_covers_ranges():
     seen = {shard_of(b, 4096, ns) for b in range(4096)}
     assert seen == set(range(32))          # contiguous, all used
     assert n_shards_for(4) == 4            # small tables: shard per bucket
+    # grid_range is the exact preimage of shard_of, covering [0, B)
+    for B, S in ((4096, 32), (4, 4), (10, 3), (100000, 32)):
+        edges = [grid_range(s, B, S) for s in range(S)]
+        assert edges[0][0] == 0 and edges[-1][1] == B
+        for (_, h1), (l2, _) in zip(edges, edges[1:]):
+            assert h1 == l2                # contiguous, no gaps
+        for s, (lo, hi) in enumerate(edges):
+            for b in (lo, hi - 1):
+                assert shard_of(b, B, S) == s
+
+
+def _assert_range_invariants(table):
+    """Live range entries pairwise disjoint; every file inside its range."""
+    snap = table.current()
+    spans = sorted((e.lo, e.hi) for e in snap.manifests if e.lo is not None)
+    for (_, h1), (l2, _) in zip(spans, spans[1:]):
+        assert h1 <= l2, f"overlapping manifest ranges: {spans}"
+    for e in snap.manifests:
+        for f in table._load_manifest(e.path):
+            if e.lo is None:
+                assert f.bucket is None
+            else:
+                assert e.lo <= f.bucket < e.hi
 
 
 def test_commit_rewrites_only_touched_shards(spark, table):
@@ -50,22 +77,144 @@ def test_commit_rewrites_only_touched_shards(spark, table):
     manifest; every other shard's entry carries forward by path."""
     ev = gen.gen_change_events(spark, n_events=400, n_convs=20, seed=11)
     apply_batch(table, ev)                                 # touches all buckets
-    before_entries = {e.shard: e.path for e in table.current().manifests}
+    before_entries = {(e.lo, e.hi): e.path for e in table.current().manifests}
     before_files = _manifest_files(table)
 
     # a single-conversation batch touches exactly one bucket → one shard
     one = gen.gen_change_events(spark, n_events=5, n_convs=1, seed=12)
     res = apply_batch(table, one)
     assert len(res.buckets_touched) == 1
-    after_entries = {e.shard: e.path for e in table.current().manifests}
-    touched_shard = shard_of(res.buckets_touched[0], 4, n_shards_for(4))
-    for shard, path in before_entries.items():
-        if shard == touched_shard:
-            assert after_entries[shard] != path            # rewritten
+    b = res.buckets_touched[0]
+    after_entries = {(e.lo, e.hi): e.path for e in table.current().manifests}
+    assert set(after_entries) == set(before_entries)       # ranges stable
+    for (lo, hi), path in before_entries.items():
+        if lo <= b < hi:
+            assert after_entries[(lo, hi)] != path         # rewritten
         else:
-            assert after_entries[shard] == path            # carried forward
+            assert after_entries[(lo, hi)] == path         # carried forward
     # exactly one new manifest file on disk
     assert len(_manifest_files(table) - before_files) == 1
+    _assert_range_invariants(table)
+
+
+def test_pruned_read_loads_only_covering_shards(spark, tmp_path):
+    """Round-5 headline: read(buckets)/lookup/stats are O(covering
+    shards) driver-side — a fresh handle's manifest cache shows exactly
+    which shards were loaded."""
+    table = LakeTable.create(spark, str(tmp_path / "t8"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=8)
+    ev = gen.gen_change_events(spark, n_events=800, n_convs=40, seed=22)
+    apply_batch(table, ev)                          # populates all 8 buckets
+    assert len(table.current().manifests) == 8      # shard per bucket here
+
+    cold = LakeTable.load(spark, str(tmp_path / "t8"))
+    assert cold._manifest_cache == {}
+    # stats: zero manifest loads (manifest-list aggregates only)
+    s = cold.stats()
+    assert cold._manifest_cache == {}
+    assert s["rows"] == sum(f.rows for f in table.current().files)
+    assert s["n_files"] == len(table.current().files)
+    assert s["max_lsn"] == max(f.max_lsn for f in table.current().files)
+
+    # a one-bucket pruned read loads exactly ONE shard
+    got = cold.read(buckets={3})
+    assert len(cold._manifest_cache) == 1
+    assert {LakeTable._path_bucket(p) for p in got.inputFiles()} == {3}
+
+    # point lookup: still one shard beyond what's cached
+    cold2 = LakeTable.load(spark, str(tmp_path / "t8"))
+    cold2.lookup("c00000001").count()
+    assert len(cold2._manifest_cache) == 1
+
+    # per-bucket HWM view restricted to one bucket: one shard loaded
+    cold3 = LakeTable.load(spark, str(tmp_path / "t8"))
+    al = cold3.applied_lsns(buckets={5}).toPandas()
+    assert len(cold3._manifest_cache) == 1
+    assert set(al["part_key"]) == {"5"}
+    full = table.applied_lsns().toPandas()
+    assert al[al.part_key == "5"]["max_lsn"].iloc[0] == \
+        full[full.part_key == "5"]["max_lsn"].iloc[0]
+
+
+def test_pruned_read_loads_delta_shard_too(spark, table):
+    ev = gen.gen_change_events(spark, n_events=400, n_convs=20, seed=23)
+    apply_batch(table, ev)
+    one = gen.gen_change_events(spark, n_events=5, n_convs=1, seed=24)
+    res = apply_batch(table, one, mode="mor")
+    b = res.buckets_touched[0]
+    cold = LakeTable.load(table.spark, table.path)
+    files = cold.current().files_for({b})
+    # loaded: the covering range shard + the delta shard (annotated hit)
+    assert len(cold._manifest_cache) == 2
+    assert any(f.bucket is None for f in files)
+    other = next(x for x in range(4) if x != b)
+    cold2 = LakeTable.load(table.spark, table.path)
+    files2 = cold2.current().files_for({other})
+    # the annotated delta does NOT intersect -> its rows are filtered, but
+    # the delta shard manifest is still the only extra load
+    assert not any(f.bucket is None for f in files2)
+
+
+def test_manifest_shard_split_grows_with_table(spark, tmp_path):
+    """A shard over manifest_target_entries splits into contiguous
+    sub-ranges on its next touch; reads/commits stay correct."""
+    table = LakeTable.create(spark, str(tmp_path / "ts"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=64)
+    table.manifest_target_entries = 8          # force splits at toy scale
+    # appends accumulate files (~1/bucket each): 6 rounds → ~6 files per
+    # bucket → ~12 per 2-bucket grid cell, over the target of 8
+    for k in range(6):
+        bootstrap(table, gen.gen_transcripts(spark, n_convs=100,
+                                             seed=25 + k))
+    snap = table.current()
+    assert len(snap.manifests) > n_shards_for(64)       # split happened
+    assert any(e.hi - e.lo == 1 for e in snap.manifests
+               if e.lo is not None)                     # below grid cells
+    assert all(e.n_files <= 8 or (e.hi - e.lo) == 1
+               for e in snap.manifests if e.lo is not None)
+    _assert_range_invariants(table)
+    # total coverage is intact
+    assert sum(e.n_files for e in snap.manifests) == len(snap.files)
+
+    # further single-bucket commits rewrite only the (small) covering shard
+    one = gen.gen_change_events(spark, n_events=5, n_convs=1, seed=26)
+    before = {(e.lo, e.hi): e.path for e in table.current().manifests}
+    res = apply_batch(table, one)
+    b = res.buckets_touched[0]
+    after = {(e.lo, e.hi): e.path for e in table.current().manifests}
+    untouched_same = [before[k] == after.get(k) for k in before
+                      if not (k[0] <= b < k[1])]
+    assert all(untouched_same)
+    _assert_range_invariants(table)
+    assert read_state(table).count() > 0
+
+
+def test_stale_lock_break_is_single_winner(table):
+    """ADVICE r4: breaking a stale lock must not delete a fresh winner's
+    lock, and a broken holder must not remove its successor's lock."""
+    lock = os.path.join(table.meta_dir, ".maint.lock")
+    # stale foreign lock on disk
+    with open(lock, "w") as fh:
+        fh.write("deadtoken 1 0")
+    os.utime(lock, (time.time() - 7200, time.time() - 7200))
+    with table._maintenance_lock(timeout_s=1.0):
+        # we broke the stale lock and now own a fresh one
+        with open(lock) as fh:
+            our_token = fh.read().split(" ", 1)[0]
+        assert our_token != "deadtoken"
+        # simulate a SECOND waiter observing the (now fresh) lock: it must
+        # NOT break it
+        with pytest.raises(TimeoutError):
+            with table._maintenance_lock(timeout_s=0.2):
+                pass
+        # simulate OUR lock being stale-broken and replaced by a successor
+        os.remove(lock)
+        with open(lock, "w") as fh:
+            fh.write("successor 2 0")
+    # release must have left the successor's lock alone (token mismatch)
+    with open(lock) as fh:
+        assert fh.read().split(" ", 1)[0] == "successor"
+    os.remove(lock)
 
 
 def test_snapshot_json_holds_manifest_list_not_files(spark, table):
