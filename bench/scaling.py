@@ -23,6 +23,7 @@ import argparse
 import json
 import multiprocessing as mp
 import os
+import re
 import subprocess
 import sys
 import time
@@ -158,15 +159,19 @@ def main() -> None:
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     # regenerate only the harness-owned header (calibration + engine
-    # scaling + raw JSON); every hand-written section below the first
-    # non-generated "## " heading is preserved verbatim
+    # scaling + raw JSON); every hand-written section from the first "## "
+    # heading the generator does NOT emit onward is preserved verbatim
+    # (no hard-coded heading name: renaming "## Session history" must not
+    # silently drop the hand-written tail)
+    generated = "\n".join(lines)
     tail = ""
     if os.path.exists(out_path):
         with open(out_path) as fh:
             old = fh.read()
-        idx = old.find("\n## Session history")
-        if idx != -1:
-            tail = old[idx + 1:]
+        for m in re.finditer(r"(?m)^## .*$", old):
+            if m.group(0) not in generated:
+                tail = old[m.start():]
+                break
     with open(out_path, "w") as fh:
         fh.write("\n".join(lines))
         if tail:

@@ -23,6 +23,7 @@ All pure `pyspark.sql.functions` higher-order expressions — zero UDFs.
 from __future__ import annotations
 
 import logging
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
@@ -46,17 +47,33 @@ DEFAULT_MAX_GROUP = 1000
 # Persisted intermediates (signatures, band tables) registered per top-level
 # sketch call. Each NEW top-level call releases the previous call's caches
 # first, so a long-lived session (bench loop, notebook) holds at most one
-# corpus-run's cached blocks instead of accumulating until eviction
-# pressure; `release_caches()` frees the last run's too. Nested calls
-# (e.g. minhash_dedup_pairs → lsh_candidate_pairs) share one scope.
-_LIVE_CACHES: list[DataFrame] = []
-_SCOPE_OPEN = False
+# corpus-run's cached blocks PER THREAD instead of accumulating until
+# eviction pressure; `release_caches()` frees the calling thread's last
+# run's too. Nested calls (e.g. minhash_dedup_pairs → lsh_candidate_pairs)
+# share one scope. The registry is THREAD-LOCAL: concurrent sketch calls
+# from different threads own independent scopes and can never unpersist
+# each other's intermediates mid-query (two threads in one module-global
+# scope could interleave ownership). Corollary: materialize (or persist
+# yourself) a sketch result BEFORE issuing the next top-level sketch call
+# on the same thread — the next call releases the previous call's cached
+# intermediates, and an unevaluated lazy result would silently recompute
+# its shingling/signature subtrees.
+_TL = threading.local()
+
+
+def _tl_caches() -> list[DataFrame]:
+    if not hasattr(_TL, "caches"):
+        _TL.caches = []
+        _TL.scope_open = False
+    return _TL.caches
 
 
 def release_caches() -> None:
-    """Unpersist every intermediate cached by the most recent sketch call."""
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
+    """Unpersist every intermediate cached by the calling thread's most
+    recent sketch call."""
+    caches = _tl_caches()
+    while caches:
+        df = caches.pop()
         try:
             df.unpersist()
         except Exception:       # session already stopped: nothing to free
@@ -65,22 +82,22 @@ def release_caches() -> None:
 
 def _cache(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _LIVE_CACHES.append(df)
+    _tl_caches().append(df)
     return df
 
 
 @contextmanager
 def _cache_scope():
-    global _SCOPE_OPEN
-    if _SCOPE_OPEN:             # nested sketch call: caller owns the scope
+    _tl_caches()                # ensure thread-local state exists
+    if _TL.scope_open:          # nested sketch call: caller owns the scope
         yield
         return
     release_caches()
-    _SCOPE_OPEN = True
+    _TL.scope_open = True
     try:
         yield
     finally:
-        _SCOPE_OPEN = False
+        _TL.scope_open = False
 
 
 def _drop_heavy_groups(df: DataFrame, keys: list[str], max_size: int,

@@ -208,6 +208,22 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
     if not touched:
         return ApplyResult(None, skipped=True, events_in=0)
 
+    stored_files: list[DataFile] = []
+    if mode != "mor":
+        # the touched buckets' stored files, from the covering manifest
+        # shards only (O(batch) metadata) — reused twice: their per-bucket
+        # row counts join the skew census (in CoW the reducer re-aggregates
+        # the WHOLE target bucket, so a trickle batch into a bucket holding
+        # a huge historical conversation must still salt — batch counts
+        # alone would leave it one straggling reducer), and their paths
+        # form the commit's remove set. Bucket-spanning delta files span
+        # buckets, so their rows are left out — the census is then a lower
+        # bound, which only under-salts until compaction folds deltas in.
+        stored_files = snap.files_for(touched)
+        for f in stored_files:
+            if f.bucket is not None:
+                bucket_counts[f.bucket] = bucket_counts.get(f.bucket, 0) + f.rows
+
     # Within-batch LWW dedup and merge-vs-target are the SAME max-_lsn
     # reduction, so they are fused into ONE hash aggregation: project every
     # raw event to the stored-row shape (op='D' → tombstone) and union with
@@ -225,6 +241,7 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
     # `write_salt` reducers/writers (the skew defense, applied adaptively
     # below — only where the census says the bucket is actually hot).
     stored_src = winners_to_stored(events)
+    salt_k: dict[int, int] = {}
     if mode == "mor":
         # MOR: dedupe the batch alone (one AQE-sized shuffle on the key)
         # and write it as bucket-SPANNING delta files — a 50k-event batch
@@ -350,15 +367,17 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
         "events_in": events_in, "rows_written": rows_written,
         "per_bucket": per_bucket,
     }
+    if salt_k:
+        # observable record of the adaptive-salt decision (which buckets
+        # split, how many ways) — operators and tests read it from lineage
+        lineage["salt_k"] = {str(b): k for b, k in sorted(salt_k.items())}
     if mode == "mor":
         remove: set[str] = set()       # pure append; deltas resolve at read
         multi_version = True
     else:
-        # shard-pruned listing: only the touched buckets' covering
-        # manifest shards load — the remove set costs O(batch), not
-        # O(table file count), driver-side
-        remove = {f.path for f in snap.files_for(touched)
-                  if f.bucket is not None}
+        # the shard-pruned listing from the census pass doubles as the
+        # remove set — O(batch) driver metadata, no second manifest walk
+        remove = {f.path for f in stored_files if f.bucket is not None}
         multi_version = None           # inherit (a CoW apply resolves only
                                        # the buckets it touched)
     rebased = False

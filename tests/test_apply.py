@@ -171,3 +171,41 @@ def test_apply_retries_recompute_after_concurrent_commit(spark, tmp_path):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
+
+
+def test_adaptive_salt_sees_target_side_rows(spark, tmp_path):
+    """ADVICE r4: a trickle batch into a bucket holding a huge stored
+    conversation must still salt — in CoW the reducer re-aggregates the
+    whole target bucket, so the census folds per-bucket STORED rows (from
+    manifest metadata) into the batch counts."""
+    from pyspark.sql import functions as F
+
+    table = LakeTable.create(spark, str(tmp_path / "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    # one conversation, 20k stored turns -> one big bucket
+    base = (spark.range(20_000)
+            .select(F.lit("c-big").alias("conv_id"),
+                    F.col("id").cast("int").alias("turn_idx"),
+                    F.lit("user").alias("role"), F.lit("x").alias("text"),
+                    F.lit(None).cast("string").alias("tool"),
+                    F.current_timestamp().alias("ts")))
+    bootstrap(table, base)
+    # a 5-event trickle into the same conversation
+    tiny = (spark.range(5)
+            .select(F.col("id").cast("long").alias("lsn"),
+                    F.lit("U").alias("op"), F.lit("c-big").alias("conv_id"),
+                    F.col("id").cast("int").alias("turn_idx"),
+                    F.lit("user").alias("role"), F.lit("y").alias("text"),
+                    F.lit(None).cast("string").alias("tool"),
+                    F.current_timestamp().alias("ts"),
+                    F.current_timestamp().alias("event_ts")))
+    res = apply_batch(table, tiny, write_salt=4, salt_min_rows=1000)
+    assert res.snapshot is not None
+    salt_k = res.snapshot.lineage.get("salt_k", {})
+    # the census saw 20_005 rows in the bucket (5 from the batch alone
+    # would never cross salt_min_rows) and split it up to the cap
+    assert list(salt_k.values()) == [4], salt_k
+    # correctness unchanged: 20k rows, 5 updated
+    got = read_state(table)
+    assert got.count() == 20_000
+    assert got.filter(F.col("text") == "y").count() == 5

@@ -221,11 +221,41 @@ def test_sketch_caches_released_between_calls(spark, docs):
     not accumulate persisted blocks — each top-level call releases the
     previous call's caches, and release_caches() frees the last."""
     D.minhash_dedup_pairs(docs).count()
-    first_gen = list(D._LIVE_CACHES)
+    first_gen = list(D._tl_caches())
     assert first_gen                      # sigs + bands registered
     D.simhash_near_pairs(docs).count()
     # previous generation fully unpersisted, replaced by the new one
     assert all(df.storageLevel.useMemory is False for df in first_gen)
-    assert D._LIVE_CACHES and D._LIVE_CACHES != first_gen
+    assert D._tl_caches() and D._tl_caches() != first_gen
     D.release_caches()
-    assert not D._LIVE_CACHES
+    assert not D._tl_caches()
+
+
+def test_sketch_cache_scope_is_thread_local(spark, docs):
+    """ADVICE r4: a sketch call on thread B must not release thread A's
+    cached intermediates mid-query — the scope registry is per-thread."""
+    import threading
+
+    D.release_caches()
+    D.minhash_dedup_pairs(docs).count()
+    a_gen = list(D._tl_caches())
+    assert a_gen
+
+    errs: list[Exception] = []
+
+    def other_thread():
+        try:
+            # a full top-level sketch call on ANOTHER thread...
+            D.simhash_near_pairs(docs).count()
+            D.release_caches()            # ...and its cleanup
+        except Exception as e:            # pragma: no cover
+            errs.append(e)
+
+    t = threading.Thread(target=other_thread)
+    t.start()
+    t.join()
+    assert not errs
+    # thread A's registry and persisted blocks are untouched
+    assert list(D._tl_caches()) == a_gen
+    assert all(df.storageLevel.useMemory for df in a_gen)
+    D.release_caches()
