@@ -62,10 +62,14 @@ def changes_between(table: LakeTable, from_snapshot_id: int,
     payload = [c for c in new.columns if c not in S.KEY_COLS]
     # additive schema evolution between the snapshots: the older state
     # simply lacks the new columns — null-fill them (same read semantics
-    # the lake gives old FILES under the new schema)
+    # the lake gives old FILES under the new schema); a column WIDENED
+    # between the snapshots (int→long etc.) is cast up so the value
+    # comparison runs in the newer type (42 == 42L ⇒ not a change)
     for c in payload:
         if c not in old.columns:
             old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+        elif old.schema[c].dataType != new.schema[c].dataType:
+            old = old.withColumn(c, F.col(c).cast(new.schema[c].dataType))
     o = old.select(*S.KEY_COLS,
                    F.struct(*[F.col(c) for c in payload]).alias("_old"),
                    F.lit(True).alias("_in_old"))

@@ -87,12 +87,13 @@ def _adaptive_salt_counts(bucket_counts: dict[int, int], cap: int,
 
 
 def _evolved_schema(table_schema: T.StructType, events: DataFrame) -> T.StructType | None:
-    """If the batch carries additive payload columns, return the evolved
-    stored schema; None if unchanged. Non-additive changes raise."""
+    """If the batch carries additive payload columns OR widens a stored
+    column's type (int→long etc.), return the evolved stored schema;
+    None if unchanged. Non-additive changes raise."""
     incoming_payload = [f for f in events.schema.fields
                         if f.name not in ("lsn", "op", "event_ts")]
     merged = S.evolve_additive(table_schema, T.StructType(incoming_payload))
-    return merged if len(merged.fields) != len(table_schema.fields) else None
+    return merged if merged != table_schema else None
 
 
 def apply_batch(table: LakeTable,

@@ -74,13 +74,41 @@ def payload_cols(event_schema: T.StructType) -> list[str]:
     return [f.name for f in event_schema.fields if f.name not in envelope]
 
 
+# Lossless widening chains (Iceberg's type-promotion rules, which Spark's
+# parquet readers natively honor at scan time since the type-widening work
+# in Spark 4: an int32 file column reads as long under a long read schema,
+# so widening is METADATA-ONLY — old files are never rewritten).
+_WIDEN_CHAINS: list[list[T.DataType]] = [
+    [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()],
+    [T.FloatType(), T.DoubleType()],
+]
+
+
+def widens(old: T.DataType, new: T.DataType) -> bool:
+    """True when ``old`` promotes LOSSLESSLY to ``new``: the integer
+    chain byte→short→int→long, float→double, and decimal precision
+    growth at unchanged scale. Everything else (narrowing, cross-family,
+    string↔number, scale changes) is not a widening."""
+    for chain in _WIDEN_CHAINS:
+        if old in chain and new in chain:
+            return chain.index(old) < chain.index(new)
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        return new.scale == old.scale and new.precision > old.precision
+    return False
+
+
 def evolve_additive(base: T.StructType, incoming: T.StructType) -> T.StructType:
     """Return ``base`` extended with any new nullable fields from
-    ``incoming``. Raises on type conflicts — evolution is additive only.
-    A base column absent from ``incoming`` is retained unchanged (columns
-    can never be dropped or narrowed through this path; a batch simply not
-    carrying a column is normal and its stored values are untouched). The
-    reference silently dropped unknown incoming fields
+    ``incoming``, and with any field whose incoming type is a lossless
+    WIDENING of the stored type promoted in place (int→long,
+    float→double, decimal precision growth — metadata-only; old files
+    read under the widened schema natively). A base column absent from
+    ``incoming`` is retained unchanged, and an incoming column NARROWER
+    than the stored type keeps the stored type (the batch's values
+    up-cast on write). Everything else — cross-family changes, renames
+    expressed as drop+add of the same data, scale changes — raises:
+    evolution through this path never loses information. The reference
+    silently dropped unknown incoming fields
     (``/root/reference/scripts/collector.py:55-59``); we promote them.
     """
     by_name = {f.name: f for f in base.fields}
@@ -90,7 +118,13 @@ def evolve_additive(base: T.StructType, incoming: T.StructType) -> T.StructType:
         if old is None:
             out.append(T.StructField(f.name, f.dataType, True))
         elif old.dataType != f.dataType:
-            raise ValueError(
-                f"non-additive schema change for column {f.name!r}: "
-                f"{old.dataType} -> {f.dataType}")
+            if widens(old.dataType, f.dataType):
+                out[out.index(old)] = T.StructField(
+                    old.name, f.dataType, old.nullable)
+            elif widens(f.dataType, old.dataType):
+                pass              # batch narrower: stored type wins
+            else:
+                raise ValueError(
+                    f"non-additive schema change for column {f.name!r}: "
+                    f"{old.dataType} -> {f.dataType}")
     return T.StructType(out)
