@@ -61,6 +61,10 @@ class ApplyResult:
     # staged files onto the competing snapshot (disjoint writers) instead
     # of recomputing the merge
     rebased: bool = False
+    # how many times the merge was COMPUTED (1 = no conflict or rebase;
+    # >1 = optimistic-concurrency recomputes) — the multi-writer
+    # observability counter
+    attempts: int = 1
 
     def lineage(self) -> dict[str, Any]:
         return {} if self.snapshot is None else self.snapshot.lineage
@@ -135,10 +139,12 @@ def apply_batch(table: LakeTable,
     for attempt in range(max(retries, 0) + 1):
         ev = events() if callable(events) else events
         try:
-            return _apply_once(table, ev, stream_id=stream_id,
-                               epoch=epoch, write_salt=write_salt,
-                               salt_min_rows=salt_min_rows,
-                               collect_metrics=collect_metrics, mode=mode)
+            res = _apply_once(table, ev, stream_id=stream_id,
+                              epoch=epoch, write_salt=write_salt,
+                              salt_min_rows=salt_min_rows,
+                              collect_metrics=collect_metrics, mode=mode)
+            res.attempts = attempt + 1
+            return res
         except CommitConflictError:
             if attempt == max(retries, 0):
                 raise

@@ -70,6 +70,7 @@ def json_value_transform(event_schema=None):
 
 def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
                        *, write_salt: int = 4, mode: str = "cow",
+                       retries: int = 0,
                        metrics: MetricsLog | None = None,
                        compaction: CompactionPolicy | None = None,
                        transform: Callable[[DataFrame], DataFrame] | None = None,
@@ -79,7 +80,13 @@ def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
     a ``transform`` that parses the value bytes into the change-event
     shape. Each micro-batch: optional transform → dead-letter split
     (epoch-keyed idempotent quarantine write) → idempotent apply →
-    metrics → optional auto-maintenance (:func:`maintenance.maintain`)."""
+    metrics → optional auto-maintenance (:func:`maintenance.maintain`).
+
+    ``retries`` > 0 is REQUIRED when more than one writer targets the
+    table (a second stream, a concurrent compactor/DML): a losing commit
+    first tries the metadata-only rebase, then recomputes up to
+    ``retries`` times (see :func:`merge.apply_batch`). Single-writer
+    deployments keep 0 (fail fast)."""
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
@@ -92,7 +99,7 @@ def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
             .parquet(os.path.join(quarantine_dir,
                                   f"{stream_id}-{batch_id:08d}")))
         res = apply_batch(table, good, stream_id=stream_id, epoch=batch_id,
-                          write_salt=write_salt, mode=mode)
+                          write_salt=write_salt, mode=mode, retries=retries)
         if metrics is not None:
             metrics.record(res, stream_id=stream_id, epoch=batch_id)
         if compaction is not None and res.snapshot is not None:
@@ -109,6 +116,7 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
                available_now: bool = False,
                write_salt: int = 4,
                mode: str = "cow",
+               retries: int = 0,
                dedup_in_stream: bool = False,
                metrics: MetricsLog | None = None,
                quarantine_dir: str | None = None,
@@ -152,7 +160,7 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
     sid = stream_id_for(checkpoint_dir)
     qdir = quarantine_dir or os.path.join(table.path, "quarantine")
     _apply = make_batch_applier(table, sid, qdir, write_salt=write_salt,
-                                mode=mode, metrics=metrics,
+                                mode=mode, retries=retries, metrics=metrics,
                                 compaction=compaction)
 
     writer = (events.writeStream
