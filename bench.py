@@ -1,4 +1,10 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints a compact summary as the LAST stdout line
+and writes the full per-leg detail (all walls, all sub-metrics) to
+``BENCH/last_detail.json``. The split exists because the recording
+pipeline tail-captures stdout: round 4's single ever-growing JSON line
+outgrew the capture buffer and the round's walls were lost to the
+machine-readable record. The last line stays small and bounded; the
+detail file carries everything.
 
 Headline workload: the engine's reason to exist — CDC apply throughput.
 A deterministic change-event log (Zipf-skewed, duplicate LSNs, tombstones,
@@ -13,7 +19,9 @@ Env knobs:
   BENCH_EVENTS         CDC event count   (default 50_000_000)
   BENCH_BATCHES        micro-batches     (default 4)
   BENCH_BUCKETS        table key buckets (default 256)
-  BENCH_REPEATS        best-of-N for the apply legs (default 2)
+  BENCH_REPEATS        best-of-N for the apply legs (default 3: a single
+                       driver invocation must ride out one hypervisor
+                       interference window — round-4 VERDICT)
   BENCH_APPLY_ONLY     skip registry queries (for the scaling harness)
   BENCH_MOR / BENCH_SKEW / BENCH_READS / BENCH_COMPACT / BENCH_FEED
                        "0" disables the corresponding leg (default all on)
@@ -369,7 +377,7 @@ def main() -> None:
     n_events = int(os.environ.get("BENCH_EVENTS", "50000000"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
     n_buckets = int(os.environ.get("BENCH_BUCKETS", "256"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     apply_only = os.environ.get("BENCH_APPLY_ONLY", "") == "1"
     with_mor = os.environ.get("BENCH_MOR", "1") == "1" and not apply_only
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -441,7 +449,7 @@ def main() -> None:
             queries[name] = round(best, 3)
     total = round(time.time() - total0, 3)
 
-    out = {
+    detail = {
         "metric": "cdc_apply_events_per_sec_plus_headline_queries",
         "value": total,
         "unit": "sec",
@@ -455,6 +463,43 @@ def main() -> None:
         "read_side": reads,
         "compact": compact,
         "feed_trickle": feed,
+    }
+    detail_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "last_detail.json")
+    os.makedirs(os.path.dirname(detail_file), exist_ok=True)
+    with open(detail_file, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # compact per-leg bests only — bounded size, survives tail capture
+    summary: dict = {"apply_events_per_sec": cdc["events_per_sec"],
+                     "apply_sec": cdc["apply_sec"],
+                     "apply_repeats": repeats}
+    if cdc_mor is not None:
+        summary["mor_events_per_sec"] = cdc_mor["events_per_sec"]
+        summary["mor_compact_resolve_sec"] = cdc_mor.get("compact_resolve_sec")
+    if trickle is not None:
+        summary["trickle_mor_speedup"] = trickle["mor_speedup"]
+        summary["cow_trickle_sec"] = trickle["cow_trickle_sec"]
+        summary["mor_trickle_sec"] = trickle["mor_trickle_sec"]
+    if skew is not None:
+        summary["salting_speedup"] = skew["salting_speedup"]
+    if reads is not None:
+        summary["read_state_sec_16_deltas"] = reads["read_state_sec_16_deltas"]
+        summary["lookup_sec_after_compact"] = reads["lookup_sec_after_compact"]
+    if compact is not None:
+        summary["compact_sort_overhead_x"] = compact["sort_overhead_x"]
+        summary["compact_sorted_sec"] = compact["compact_sorted_sec"]
+    if feed is not None:
+        summary["feed_pruning_speedup"] = feed["pruning_speedup"]
+    out = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "summary": summary,
+        "detail_file": "BENCH/last_detail.json",
     }
     spark.stop()
     print(json.dumps(out))
