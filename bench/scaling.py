@@ -70,7 +70,8 @@ def run_at(cpus: int, events: int, batches: int, repeats: int = 3) -> dict:
                              env=env, capture_output=True, text=True, check=True)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
-        if best is None or r["cdc"]["apply_sec"] < best["cdc"]["apply_sec"]:
+        if best is None or \
+                r["summary"]["apply_sec"] < best["summary"]["apply_sec"]:
             best = r
     return best
 
@@ -130,15 +131,16 @@ def main() -> None:
         "|---|---|---|---|---|---|---|",
     ]
     for i, (n, xn) in enumerate(pairs):
-        tp_n = results[n]["cdc"]["events_per_sec"]
-        tp_xn = results[xn]["cdc"]["events_per_sec"]
+        tp_n = results[n]["summary"]["apply_events_per_sec"]
+        tp_xn = results[xn]["summary"]["apply_events_per_sec"]
         factor = xn / n
         eff = tp_xn / (factor * tp_n)
         ceiling = min(1.0, (eff_cores[xn] / eff_cores[n]) / factor)
         tag = "**primary**" if i == 0 else "supplementary"
         lines.append(
             f"| {tag} N={n}→4N={xn} | {n}→{xn} | "
-            f"{results[n]['cdc']['apply_sec']}→{results[xn]['cdc']['apply_sec']} | "
+            f"{results[n]['summary']['apply_sec']}→"
+            f"{results[xn]['summary']['apply_sec']} | "
             f"{tp_n:,.0f}→{tp_xn:,.0f} | **{eff:.3f}** | {ceiling:.2f} | "
             f"{min(1.0, eff / ceiling):.3f} |")
     lines += [
