@@ -25,6 +25,10 @@ Env knobs:
   BENCH_APPLY_ONLY     skip registry queries (for the scaling harness)
   BENCH_MOR / BENCH_SKEW / BENCH_READS / BENCH_COMPACT / BENCH_FEED
                        "0" disables the corresponding leg (default all on)
+  BENCH_DETAIL_FILE    detail JSON path (default BENCH/last_detail.json;
+                       the scaling harness points its subprocesses at
+                       per-level files so they don't clobber the full
+                       run's record)
 
 The same job runs unchanged at any parallelism — the N-vs-4N scaling
 evidence in BENCH/BASELINE.md is produced by bench/scaling.py running this
@@ -464,8 +468,10 @@ def main() -> None:
         "compact": compact,
         "feed_trickle": feed,
     }
-    detail_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH", "last_detail.json")
+    detail_file = os.environ.get(
+        "BENCH_DETAIL_FILE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "last_detail.json"))
     os.makedirs(os.path.dirname(detail_file), exist_ok=True)
     with open(detail_file, "w") as fh:
         json.dump(detail, fh, indent=1)

@@ -65,6 +65,8 @@ def run_at(cpus: int, events: int, batches: int, repeats: int = 3) -> dict:
                    BENCH_BATCHES=str(batches),
                    BENCH_REPEATS=os.environ.get("BENCH_REPEATS_INNER", "6"),
                    BENCH_APPLY_ONLY="1",
+                   BENCH_DETAIL_FILE=os.path.join(
+                       REPO, "BENCH", f"scaling_detail_{cpus}c.json"),
                    PYTHONPATH=REPO)
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True, check=True)
