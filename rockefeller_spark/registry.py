@@ -278,6 +278,76 @@ SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT conv_id, turn_idx FROM ch)) AS sto
 """
 
 
+_WIDEN_SCRATCH = os.path.join(tempfile.gettempdir(),
+                              f"rk-widen-scratch-{os.getpid()}")
+atexit.register(shutil.rmtree, _WIDEN_SCRATCH, True)
+
+
+def q_cdc_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-WIDENING evolution under the oracle gate: the change stream
+    carries an additive ``latency_ms`` column as int32; one conversation's
+    events then arrive with the SAME column as int64. The second apply
+    widens the stored schema in place — verified in-query: the schema
+    must flip int→long, and at least one pre-widening int32 data file
+    must survive un-rewritten into the post-widening snapshot (widening
+    is metadata-only). The final visible state, with old int32 files read
+    under the widened schema, must equal the full window-SQL replay
+    computing latency as BIGINT throughout."""
+    from pyspark.sql import types as T
+    ev = events_as_changes(_t(spark, sf_dir, "events"))
+    lat = (F.when(F.col("op") == "D", F.lit(None).cast("int"))
+           .otherwise(F.pmod(F.col("lsn"), F.lit(5000)).cast("int")))
+    ev = ev.withColumn("latency_ms", lat)
+    # the widened batch: exactly one conversation (one bucket), so most
+    # buckets' int32 files must carry over un-rewritten
+    widen_conv = ev.agg(F.min("conv_id")).collect()[0][0]
+    shutil.rmtree(_WIDEN_SCRATCH, ignore_errors=True)
+    table = LakeTable.create(spark, os.path.join(_WIDEN_SCRATCH, "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=16)
+    apply_batch(table, ev.filter(F.col("conv_id") != widen_conv),
+                stream_id="widen", epoch=0)
+    if not isinstance(table.current().schema["latency_ms"].dataType,
+                      T.IntegerType):
+        raise AssertionError("additive column should land as int32 first")
+    files_v1 = {f.path for f in table.current().files}
+    apply_batch(table,
+                ev.filter(F.col("conv_id") == widen_conv)
+                  .withColumn("latency_ms", F.col("latency_ms").cast("long")),
+                stream_id="widen", epoch=1)
+    snap = table.current()
+    if not isinstance(snap.schema["latency_ms"].dataType, T.LongType):
+        raise AssertionError("int64 batch should widen the stored schema")
+    if not files_v1 & {f.path for f in snap.files}:
+        raise AssertionError(
+            "widening must be metadata-only: no pre-widening file survived")
+    st = read_state(table)
+    return st.select("conv_id", "turn_idx", "role", "text", "tool",
+                     F.col("latency_ms").cast("long").alias("latency_ms"),
+                     F.unix_micros(F.col("ts")).alias("ts_us"))
+
+
+SQL_CDC_SCHEMA_WIDENING = """
+WITH ch AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type = 'click' THEN 'I' ELSE 'U' END AS op,
+         'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 20 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS role,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+         CAST(NULL AS VARCHAR) AS tool,
+         CASE WHEN event_type = 'error' THEN NULL ELSE ts END AS ts,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(event_id % 5000 AS BIGINT) END AS latency_ms
+  FROM events),
+w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY lsn DESC) AS rn FROM ch)
+SELECT conv_id, turn_idx, role, text, tool, latency_ms,
+       epoch_us(ts) AS ts_us
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_cdc_lsn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC audit: missing-LSN ranges in an event log with holes punched
     in it (the at-least-once data-loss alarm). Small block width so the
@@ -1584,6 +1654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_lsn_gaps": q_cdc_lsn_gaps,
     "cdc_table_stats": q_cdc_table_stats,
+    "cdc_schema_widening": q_cdc_schema_widening,
     "cdc_delete_where": q_cdc_delete_where,
     "cdc_update_where": q_cdc_update_where,
     # text pipeline
@@ -1640,6 +1711,7 @@ ORACLES: dict[str, str] = {
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_lsn_gaps": SQL_CDC_LSN_GAPS,
     "cdc_table_stats": SQL_CDC_TABLE_STATS,
+    "cdc_schema_widening": SQL_CDC_SCHEMA_WIDENING,
     "cdc_delete_where": SQL_CDC_DELETE_WHERE,
     "cdc_update_where": SQL_CDC_UPDATE_WHERE,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,

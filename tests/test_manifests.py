@@ -377,3 +377,23 @@ def test_read_prunes_annotated_delta_files(spark, table):
     got = table.read(buckets={other}).inputFiles()
     assert len(got) == n_files_scanned
     assert not any(p.endswith("-delta.parquet") for p in got)
+
+
+def test_commit_loads_only_covering_shards(spark, tmp_path):
+    """The WRITE path is O(covering shards) driver-side too: a cold
+    handle applying a one-bucket batch loads exactly the covering shard's
+    manifest (census listing + remove set + rebuild all share it)."""
+    table = LakeTable.create(spark, str(tmp_path / "tc"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=8)
+    ev = gen.gen_change_events(spark, n_events=800, n_convs=40, seed=27)
+    apply_batch(table, ev)                          # seed all 8 shards
+    cold = LakeTable.load(spark, str(tmp_path / "tc"))
+    one = gen.gen_change_events(spark, n_events=5, n_convs=1, seed=28)
+    res = apply_batch(cold, one)
+    assert len(res.buckets_touched) == 1
+    # loaded: the covering shard; written: its replacement (cached at
+    # write). Nothing else — 2 cache entries total.
+    assert len(cold._manifest_cache) == 2
+    rewritten = [e.path for e in cold.current().manifests
+                 if e.covers(res.buckets_touched[0])]
+    assert rewritten and rewritten[0] in cold._manifest_cache
