@@ -58,25 +58,45 @@ class CompactionPolicy:
 def maintain(table: LakeTable, policy: CompactionPolicy) -> dict[str, Any]:
     """Run one maintenance cycle; returns what was done. Decision inputs
     are snapshot metadata only — evaluating a no-op cycle costs zero
-    Spark jobs."""
+    Spark jobs AND O(n_shards) driver work, not O(table files): the
+    delta/total triggers come from manifest-LIST aggregates, and the
+    fragmented-bucket census loads only shards whose total file count
+    exceeds ``max_bucket_files`` (exact: a bucket with more than K files
+    necessarily lives in a shard holding more than K files). This runs
+    after EVERY stream micro-batch, so it must stay metadata-flat at any
+    table size."""
     snap = table.current()
-    delta_files = [f for f in snap.files if f.bucket is None]
-    total_rows = sum(f.rows for f in snap.files)
-    delta_rows = sum(f.rows for f in delta_files)
+    if snap.manifests is not None and snap._files is None:
+        n_delta_files = sum(e.n_files for e in snap.manifests
+                            if e.lo is None)
+        delta_rows = sum(e.rows for e in snap.manifests if e.lo is None)
+        total_rows = sum(e.rows for e in snap.manifests)
+    else:
+        delta = [f for f in snap.files if f.bucket is None]
+        n_delta_files = len(delta)
+        delta_rows = sum(f.rows for f in delta)
+        total_rows = sum(f.rows for f in snap.files)
     actions: dict[str, Any] = {"full_compact": False, "bucket_compacts": [],
-                               "pending_delta_files": len(delta_files),
+                               "pending_delta_files": n_delta_files,
                                "expired": None}
 
-    if delta_files and (
-            len(delta_files) > policy.max_delta_files
+    if n_delta_files and (
+            n_delta_files > policy.max_delta_files
             or delta_rows > policy.max_delta_row_fraction * max(total_rows, 1)):
         table.compact(drop_tombstones=policy.drop_tombstones,
                       write_salt=policy.write_salt,
                       target_rows_per_file=policy.target_rows_per_file)
         actions["full_compact"] = True
     elif not snap.multi_version:
-        # incremental: rewrite only the worst-fragmented buckets
-        counts = Counter(f.bucket for f in snap.files if f.bucket is not None)
+        # incremental: rewrite only the worst-fragmented buckets. Census
+        # loads only shards that COULD contain a bucket over the threshold
+        if snap.manifests is not None and snap._files is None:
+            cand = [f for e in snap.manifests
+                    if e.lo is not None and e.n_files > policy.max_bucket_files
+                    for f in table._load_manifest(e.path)]
+        else:
+            cand = [f for f in snap.files if f.bucket is not None]
+        counts = Counter(f.bucket for f in cand if f.bucket is not None)
         frag = [b for b, c in counts.most_common(policy.max_fragmented_buckets)
                 if c > policy.max_bucket_files]
         if frag:

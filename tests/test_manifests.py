@@ -397,3 +397,19 @@ def test_commit_loads_only_covering_shards(spark, tmp_path):
     rewritten = [e.path for e in cold.current().manifests
                  if e.covers(res.buckets_touched[0])]
     assert rewritten and rewritten[0] in cold._manifest_cache
+
+
+def test_maintain_noop_is_metadata_flat(spark, tmp_path):
+    """maintain() runs per stream micro-batch: a no-op cycle must load
+    only the shards that could contain an over-threshold bucket — here
+    none — not the full file list."""
+    from rockefeller_spark.maintenance import CompactionPolicy, maintain
+    table = LakeTable.create(spark, str(tmp_path / "tm"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=8)
+    ev = gen.gen_change_events(spark, n_events=800, n_convs=40, seed=29)
+    apply_batch(table, ev)                       # 1 file per bucket
+    cold = LakeTable.load(spark, str(tmp_path / "tm"))
+    acts = maintain(cold, CompactionPolicy(expire_keep_last=None))
+    assert not acts["full_compact"] and not acts["bucket_compacts"]
+    assert acts["pending_delta_files"] == 0
+    assert cold._manifest_cache == {}            # zero manifest loads
