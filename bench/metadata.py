@@ -106,6 +106,19 @@ def main() -> None:
             assert hits and all(f.bucket == 7 for f in hits)
             shards_loaded = len(table._manifest_cache)
 
+            # steady-state streaming expiry: retire the superseded
+            # snapshot WITHOUT the orphan sweep — candidates come from the
+            # one manifest shard the commit above touched, so this must be
+            # flat in F (the round-4 shape listed the whole data dir and
+            # rebuilt the full reference set every call)
+            t0 = time.perf_counter()
+            est = table.expire_snapshots(keep_last=1, clean_orphans=False)
+            expire_wall = time.perf_counter() - t0
+            assert est["expired_snapshots"] == 1
+            # the synthetic DataFiles have no bytes on disk, so the unlink
+            # is a no-op; the timed work (candidate scan + liveness check)
+            # is identical either way
+
             # reader cold-load (fresh cache, fresh Snapshot)
             table._manifest_cache = {}
             t0 = time.perf_counter()
@@ -119,6 +132,7 @@ def main() -> None:
                                           if mono_wall is not None else None),
                 "monolithic_bytes": mono_bytes,
                 "sharded_commit_sec": round(sharded_wall, 4),
+                "streaming_expire_sec": round(expire_wall, 4),
                 "pruned_lookup_sec": round(lookup_wall, 4),
                 "lookup_shards_loaded": shards_loaded,
                 "n_shards": len(snap.manifests),

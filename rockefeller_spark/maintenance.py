@@ -31,6 +31,8 @@ timer can know.
 
 from __future__ import annotations
 
+import os
+import time
 from collections import Counter
 from dataclasses import dataclass
 from typing import Any
@@ -48,6 +50,10 @@ class CompactionPolicy:
     max_fragmented_buckets: int = 4
     expire_keep_last: int | None = 8
     orphan_grace_s: float = 3600.0
+    # how often to run the FULL-LISTING orphan sweep (Iceberg's
+    # removeOrphanFiles analog — O(table listing), so not per batch).
+    # Snapshot expiry itself still runs every cycle and is O(churn).
+    orphan_sweep_every_s: float = 3600.0
     drop_tombstones: bool = False
     write_salt: int = 0
     # bound compacted FILE sizes (Iceberg write.target-file-size analog);
@@ -107,6 +113,16 @@ def maintain(table: LakeTable, policy: CompactionPolicy) -> dict[str, Any]:
             actions["bucket_compacts"] = sorted(frag)
 
     if policy.expire_keep_last is not None:
+        marker = os.path.join(table.meta_dir, ".last-orphan-sweep")
+        try:
+            sweep_due = (time.time() - os.path.getmtime(marker)
+                         > policy.orphan_sweep_every_s)
+        except FileNotFoundError:
+            sweep_due = True
         actions["expired"] = table.expire_snapshots(
-            policy.expire_keep_last, orphan_grace_s=policy.orphan_grace_s)
+            policy.expire_keep_last, clean_orphans=sweep_due,
+            orphan_grace_s=policy.orphan_grace_s)
+        if sweep_due:
+            with open(marker, "w") as fh:
+                fh.write(str(time.time()))
     return actions

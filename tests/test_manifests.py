@@ -413,3 +413,72 @@ def test_maintain_noop_is_metadata_flat(spark, tmp_path):
     assert not acts["full_compact"] and not acts["bucket_compacts"]
     assert acts["pending_delta_files"] == 0
     assert cold._manifest_cache == {}            # zero manifest loads
+
+
+def test_expire_fast_path_is_exact_and_safe(spark, tmp_path):
+    """Expiry without the orphan sweep is O(churn) — candidates come from
+    expired-ONLY manifest shards — and must delete exactly the dead file
+    set (cross-checked against a full reference computation taken BEFORE
+    expiry), never a live one. Includes the rollback trap: the rollback
+    snapshot re-references old files via its adopted manifest list."""
+    table = LakeTable.create(spark, str(tmp_path / "te"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=600, n_convs=20, seed=30)
+    pdf = ev.toPandas()
+    for k in range(6):
+        chunk = spark.createDataFrame(pdf[pdf.lsn % 6 == k], ev.schema)
+        apply_batch(table, chunk, mode="mor" if k % 3 == 2 else "cow")
+    table.compact()
+    table.rollback(3)
+
+    keep = 3
+    cur = table.current_version()
+    hist = table.history()
+    retained = [s for s in hist if s.snapshot_id > cur - keep]
+    expired = [s for s in hist if s.snapshot_id <= cur - keep]
+    live = {f.path for s in retained for f in s.files}
+    dead = {f.path for s in expired for f in s.files} - live
+    assert dead                                    # the test has teeth
+
+    stats = table.expire_snapshots(keep_last=keep, clean_orphans=False)
+    assert stats["orphan_sweep"] is False
+    assert stats["deleted_files"] == len(dead)
+    for p in live:
+        assert os.path.exists(os.path.join(table.path, p)), p
+    for p in dead:
+        assert not os.path.exists(os.path.join(table.path, p)), p
+    # rollback state still fully readable
+    assert read_state(table).count() > 0
+
+
+def test_per_batch_expire_skips_orphan_sweep_and_policy_rate_limits(
+        spark, tmp_path):
+    """clean_orphans=False must not pay (or perform) the full-listing
+    sweep: even an AGED orphan survives until a sweeping call. The
+    streaming policy runs the sweep at most once per
+    orphan_sweep_every_s."""
+    from rockefeller_spark.maintenance import CompactionPolicy, maintain
+    table = LakeTable.create(spark, str(tmp_path / "to"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=200, n_convs=8, seed=31)
+    pdf = ev.toPandas()
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn < 100], ev.schema))
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn >= 100], ev.schema))
+    orphan = os.path.join(table.data_dir, "orphan-b00000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"x")
+    os.utime(orphan, (1, 1))                       # aged far past any grace
+
+    table.expire_snapshots(keep_last=1, clean_orphans=False,
+                           orphan_grace_s=0.0)
+    assert os.path.exists(orphan)                  # no sweep ran
+    table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    assert not os.path.exists(orphan)              # sweeping call reclaims
+
+    # policy: first cycle sweeps (no marker), second is rate-limited
+    pol = CompactionPolicy(expire_keep_last=1, orphan_sweep_every_s=3600.0,
+                           orphan_grace_s=0.0)
+    a1 = maintain(table, pol)
+    a2 = maintain(table, pol)
+    assert a1["expired"]["orphan_sweep"] is True
+    assert a2["expired"]["orphan_sweep"] is False
