@@ -60,6 +60,17 @@ def changes_between(table: LakeTable, from_snapshot_id: int,
     new = read_state(table, to_snapshot_id, buckets=buckets)
 
     payload = [c for c in new.columns if c not in S.KEY_COLS]
+    # rename/drop evolution between the snapshots: map the older state's
+    # columns FORWARD through the name-log entries in (from, to] so a
+    # pure rename is NOT reported as a change (same value, new name);
+    # a dropped column leaves the comparison, and a name re-added after
+    # a drop compares old=NULL (stale values never resurface)
+    for entry in s_to.name_log:
+        if s_from.snapshot_id < entry["v"] <= s_to.snapshot_id:
+            if "rename" in entry:
+                old = old.withColumnRenamed(*entry["rename"])
+            elif "drop" in entry and entry["drop"] in old.columns:
+                old = old.drop(entry["drop"])
     # additive schema evolution between the snapshots: the older state
     # simply lacks the new columns — null-fill them (same read semantics
     # the lake gives old FILES under the new schema); a column WIDENED

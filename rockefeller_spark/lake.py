@@ -99,6 +99,12 @@ class DataFile:
     # pruning under a delta trickle instead of scanning every delta for
     # every bucket. None = unknown (may span all buckets).
     buckets: list[int] | None = None
+    # snapshot id this file was committed at (stamped by ``commit``):
+    # its SCHEMA VINTAGE. Rename/drop evolution is resolved per file by
+    # replaying the table's name log from this vintage forward (Iceberg
+    # tracks the same lineage with field ids). None = predates the name
+    # log entirely (every log entry applies).
+    schema_v: int | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {"path": self.path, "bucket": self.bucket,
@@ -106,13 +112,15 @@ class DataFile:
                              "max_lsn": self.max_lsn}
         if self.buckets is not None:
             d["buckets"] = self.buckets
+        if self.schema_v is not None:
+            d["schema_v"] = self.schema_v
         return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "DataFile":
         return DataFile(d["path"], d.get("bucket"), d["rows"],
                         d.get("min_lsn"), d.get("max_lsn"),
-                        d.get("buckets"))
+                        d.get("buckets"), d.get("schema_v"))
 
 
 @dataclass
@@ -205,7 +213,8 @@ class Snapshot:
                  timestamp_ms: int = 0,
                  multi_version: bool = False, *,
                  manifests: list[ManifestEntry] | None = None,
-                 loader: Callable[[str], list[DataFile]] | None = None):
+                 loader: Callable[[str], list[DataFile]] | None = None,
+                 name_log: list[dict[str, Any]] | None = None):
         self.snapshot_id = snapshot_id
         self.parent_id = parent_id
         self.schema = schema
@@ -214,6 +223,13 @@ class Snapshot:
         self.committed_epochs = dict(committed_epochs or {})
         self.lineage = dict(lineage or {})
         self.timestamp_ms = timestamp_ms
+        # Ordered record of rename/drop evolution, the engine's analog of
+        # Iceberg field ids: entries like {"v": snapshot_id, "rename":
+        # ["old", "new"]} or {"v": snapshot_id, "drop": "col"}. A data
+        # file written at vintage v is read by resolving each CURRENT
+        # column name backward through entries with v_entry > v
+        # (see :meth:`vintage_name`); files never rewrite on rename/drop.
+        self.name_log = list(name_log or [])
         # True when merge-on-read deltas were appended since the last full
         # resolve: a key may have MULTIPLE stored versions and readers must
         # reduce by max _lsn (read_state does). Copy-on-write commits and
@@ -277,6 +293,7 @@ class Snapshot:
             "lineage": self.lineage,
             "timestamp_ms": self.timestamp_ms,
             "multi_version": self.multi_version,
+            "name_log": self.name_log,
         }
 
     @staticmethod
@@ -299,7 +316,46 @@ class Snapshot:
                        for e in d.get("manifests", [])] if "manifests" in d
                       else None,
             loader=loader,
+            name_log=d.get("name_log", []),
         )
+
+    def vintage_name(self, current_name: str,
+                     schema_v: int | None) -> str | None:
+        """The on-disk column name holding current column ``current_name``
+        in a file of vintage ``schema_v`` — or None when that column does
+        not exist in files of that vintage (it was added, or RE-added
+        after a drop, later than the file; its on-disk namesake, if any,
+        is a dead field whose stale values must never resurface). Walks
+        the name log newest-first down to the file's vintage:
+
+        - ``rename [old, new]``: tracking ``new`` continues as ``old``;
+          tracking ``old`` terminates (before the rename, that name
+          belonged to a different field — the one that is now ``new``).
+        - ``drop col``: tracking ``col`` terminates (the file's same-named
+          column is the dropped field, not the current one).
+        """
+        v = -1 if schema_v is None else schema_v
+        name = current_name
+        for entry in reversed(self.name_log):
+            if entry["v"] <= v:
+                break
+            if "rename" in entry:
+                old, new = entry["rename"]
+                if name == new:
+                    name = old
+                elif name == old:
+                    return None
+            elif "drop" in entry and entry["drop"] == name:
+                return None
+        return name
+
+    def file_era(self, schema_v: int | None) -> int:
+        """Files sharing an era share their whole column mapping: the era
+        is the count of name-log entries NEWER than the file's vintage
+        (0 = current names; tables that never renamed/dropped have one
+        era and take the single-scan fast path)."""
+        v = -1 if schema_v is None else schema_v
+        return sum(1 for entry in self.name_log if entry["v"] > v)
 
 
 def changed_buckets(a: Snapshot, b: Snapshot) -> set[int] | None:
@@ -854,12 +910,18 @@ class LakeTable:
                lineage: dict[str, Any] | None = None,
                expected_version: int | None = None,
                multi_version: bool | None = None,
-               new_n_buckets: int | None = None) -> Snapshot:
+               new_n_buckets: int | None = None,
+               name_log_append: dict[str, Any] | None = None) -> Snapshot:
         base_version = self.current_version()
         if expected_version is not None and base_version != expected_version:
             raise CommitConflictError(
                 f"table moved: expected v{expected_version}, found v{base_version}")
         base = self.snapshot(base_version)
+        # stamp each added file's schema vintage BEFORE manifests
+        # serialize: the snapshot it lands in (rename/drop evolution
+        # resolves per-file column names from it)
+        for f in adds:
+            f.schema_v = base_version + 1
         if new_n_buckets and new_n_buckets != base.n_buckets:
             # bucket-count evolution invalidates the shard mapping: full
             # reshard (the caller — rescale_buckets — rewrote all data
@@ -874,6 +936,9 @@ class LakeTable:
         epochs = dict(base.committed_epochs)
         if stream_id is not None and epoch is not None:
             epochs[stream_id] = max(epoch, epochs.get(stream_id, -1))
+        name_log = list(base.name_log)
+        if name_log_append is not None:
+            name_log.append({**name_log_append, "v": base_version + 1})
         snap = Snapshot(
             snapshot_id=base_version + 1,
             parent_id=base_version,
@@ -887,6 +952,7 @@ class LakeTable:
                            else multi_version),
             manifests=manifests,
             loader=self._load_manifest,
+            name_log=name_log,
         )
         self._write_snapshot(snap)
         return snap
@@ -919,11 +985,61 @@ class LakeTable:
                            expected_version=snap.snapshot_id)
 
     def evolve(self, new_schema: T.StructType) -> Snapshot:
-        """Additive schema evolution: metadata-only commit, zero rewrite."""
+        """Additive/widening schema evolution: metadata-only commit, zero
+        rewrite."""
         from rockefeller_spark.schema import evolve_additive
         snap = self.current()
         merged = evolve_additive(snap.schema, new_schema)
         return self.commit([], set(), new_schema=merged)
+
+    # Engine-reserved names a rename/drop may never touch: the key/bucket
+    # columns (bucketing and MERGE identity are keyed on them) and the
+    # engine's meta columns.
+    _PROTECTED_COLS = frozenset({"_lsn", "_deleted"})
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """Rename a payload column WITHOUT rewriting any file (Iceberg
+        ``renameColumn`` semantics, realized with a name log instead of
+        field ids): a metadata-only commit updates the schema and records
+        the rename; readers resolve each file's on-disk name from its
+        schema vintage (:meth:`Snapshot.vintage_name`). The freed old
+        name may later be re-used by a NEW column — old files' stale
+        values never resurface under it (their lineage terminates at the
+        rename). Key/bucket and engine meta columns cannot be renamed."""
+        from rockefeller_spark import schema as S
+        snap = self.current()
+        names = [f.name for f in snap.schema.fields]
+        if old in S.KEY_COLS or old == snap.bucket_col \
+                or old in self._PROTECTED_COLS:
+            raise ValueError(f"cannot rename engine column {old!r}")
+        if old not in names:
+            raise ValueError(f"no such column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        fields = [T.StructField(new, f.dataType, f.nullable)
+                  if f.name == old else f for f in snap.schema.fields]
+        return self.commit([], set(), new_schema=T.StructType(fields),
+                           lineage={"op": "rename_column",
+                                    "from": old, "to": new},
+                           name_log_append={"rename": [old, new]})
+
+    def drop_column(self, col: str) -> Snapshot:
+        """Drop a payload column WITHOUT rewriting any file: metadata-only
+        commit; old files keep the bytes on disk but no read ever selects
+        them again — and if the NAME is later re-added as a new column,
+        pre-drop files read NULL for it, never the dead field's stale
+        values (the name log terminates their lineage at the drop)."""
+        from rockefeller_spark import schema as S
+        snap = self.current()
+        if col in S.KEY_COLS or col == snap.bucket_col \
+                or col in self._PROTECTED_COLS:
+            raise ValueError(f"cannot drop engine column {col!r}")
+        if col not in [f.name for f in snap.schema.fields]:
+            raise ValueError(f"no such column {col!r}")
+        fields = [f for f in snap.schema.fields if f.name != col]
+        return self.commit([], set(), new_schema=T.StructType(fields),
+                           lineage={"op": "drop_column", "col": col},
+                           name_log_append={"drop": col})
 
     # ------------------------------------------------------------------ reads
     def read(self, snapshot_id: int | None = None,
@@ -951,8 +1067,46 @@ class LakeTable:
         files = snap.files_for(buckets)
         if not files:
             return self.spark.createDataFrame([], snap.schema)
-        paths = [os.path.join(self.path, f.path) for f in files]
-        return self.spark.read.schema(snap.schema).parquet(*paths)
+        if not snap.name_log:
+            # fast path (tables that never renamed/dropped): one scan
+            paths = [os.path.join(self.path, f.path) for f in files]
+            return self.spark.read.schema(snap.schema).parquet(*paths)
+        # era-grouped read: files written before a rename/drop carry the
+        # then-current column names on disk; each era (files sharing a
+        # column mapping — at most len(name_log)+1 groups) scans with its
+        # vintage names and projects to the current schema, then the
+        # groups union by name. Columns whose lineage terminates before
+        # the file's vintage (added or re-added later) read as NULL —
+        # a dropped-and-readded name never resurfaces stale values.
+        by_era: dict[int, list[DataFile]] = {}
+        for f in files:
+            by_era.setdefault(snap.file_era(f.schema_v), []).append(f)
+        parts: list[DataFrame] = []
+        for era, fs in sorted(by_era.items()):
+            paths = [os.path.join(self.path, f.path) for f in fs]
+            if era == 0:
+                parts.append(
+                    self.spark.read.schema(snap.schema).parquet(*paths))
+                continue
+            sv = fs[0].schema_v       # same era ⇒ identical mapping
+            read_fields: list[T.StructField] = []
+            select_exprs = []
+            for fld in snap.schema.fields:
+                vn = snap.vintage_name(fld.name, sv)
+                if vn is None:
+                    select_exprs.append(
+                        F.lit(None).cast(fld.dataType).alias(fld.name))
+                else:
+                    read_fields.append(
+                        T.StructField(vn, fld.dataType, True))
+                    select_exprs.append(F.col(vn).alias(fld.name))
+            df = self.spark.read.schema(
+                T.StructType(read_fields)).parquet(*paths)
+            parts.append(df.select(*select_exprs))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def compact(self, *, drop_tombstones: bool = True,
                 write_salt: int = 0,
@@ -1167,6 +1321,7 @@ class LakeTable:
                 manifests=(list(target.manifests)
                            if target.manifests is not None else None),
                 loader=self._load_manifest,
+                name_log=list(target.name_log),
             )
             if snap.manifests is None:
                 snap._files = list(target.files)

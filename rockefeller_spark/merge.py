@@ -443,6 +443,12 @@ def _rebase_commit(table: LakeTable, expected: Snapshot,
             return _SKIPPED
         if cur.n_buckets != expected.n_buckets or new_schema is not None:
             return None
+        if cur.schema != expected.schema or cur.name_log != expected.name_log:
+            # competitor evolved the schema (add/widen/rename/drop): the
+            # staged files' on-disk columns were written under the OLD
+            # names/types, but a rebase would stamp them with the NEW
+            # snapshot's vintage — mis-mapping them. Recompute instead.
+            return None
         if mode != "mor":
             try:
                 diff = changed_buckets(expected, cur)

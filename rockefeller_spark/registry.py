@@ -348,6 +348,70 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+_RENAME_SCRATCH = os.path.join(tempfile.gettempdir(),
+                               f"rk-rename-scratch-{os.getpid()}")
+atexit.register(shutil.rmtree, _RENAME_SCRATCH, True)
+
+
+def q_cdc_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN RENAME without rewrite under the oracle gate (Iceberg
+    renameColumn semantics via the name log): apply the full stream,
+    rename ``role``→``speaker`` (metadata-only — asserted in-query:
+    zero files rewritten), then apply one conversation's updates carrying
+    the NEW name. The final state mixes pre-rename files (on-disk column
+    ``role``, resolved per vintage) with post-rename files (on-disk
+    ``speaker``) and must equal the window-SQL replay emitting
+    ``role AS speaker`` throughout."""
+    ev = events_as_changes(_t(spark, sf_dir, "events"))
+    upd_conv = ev.agg(F.min("conv_id")).collect()[0][0]
+    max_lsn = ev.agg(F.max("lsn")).collect()[0][0]
+    shutil.rmtree(_RENAME_SCRATCH, ignore_errors=True)
+    table = LakeTable.create(spark, os.path.join(_RENAME_SCRATCH, "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=16)
+    apply_batch(table, ev, stream_id="ren", epoch=0)
+    files_v1 = {f.path for f in table.current().files}
+    table.rename_column("role", "speaker")
+    if {f.path for f in table.current().files} != files_v1:
+        raise AssertionError("rename must not rewrite any data file")
+    # post-rename wave: the SAME events of one conversation re-delivered
+    # at higher LSNs under the new name (payload identical, so the oracle
+    # needs no second event source — LWW picks the re-delivery)
+    wave = (ev.filter(F.col("conv_id") == upd_conv)
+            .withColumnRenamed("role", "speaker")
+            .withColumn("lsn", F.col("lsn") + F.lit(max_lsn + 1)))
+    apply_batch(table, wave, stream_id="ren", epoch=1)
+    if not files_v1 & {f.path for f in table.current().files}:
+        raise AssertionError("expected surviving pre-rename files")
+    st = read_state(table)
+    return st.select("conv_id", "turn_idx", "speaker", "text", "tool",
+                     F.unix_micros(F.col("ts")).alias("ts_us"))
+
+
+SQL_CDC_COLUMN_RENAME = """
+WITH ch0 AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type = 'click' THEN 'I' ELSE 'U' END AS op,
+         'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 20 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS speaker,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+         CAST(NULL AS VARCHAR) AS tool,
+         CASE WHEN event_type = 'error' THEN NULL ELSE ts END AS ts
+  FROM events),
+mx AS (SELECT MAX(lsn) AS m FROM ch0),
+uc AS (SELECT MIN(conv_id) AS c FROM ch0),
+ch AS (SELECT * FROM ch0
+       UNION ALL
+       SELECT lsn + mx.m + 1, op, conv_id, turn_idx, speaker, text, tool, ts
+       FROM ch0, mx, uc WHERE conv_id = uc.c),
+w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY lsn DESC) AS rn FROM ch)
+SELECT conv_id, turn_idx, speaker, text, tool, epoch_us(ts) AS ts_us
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_cdc_lsn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC audit: missing-LSN ranges in an event log with holes punched
     in it (the at-least-once data-loss alarm). Small block width so the
@@ -1655,6 +1719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lsn_gaps": q_cdc_lsn_gaps,
     "cdc_table_stats": q_cdc_table_stats,
     "cdc_schema_widening": q_cdc_schema_widening,
+    "cdc_column_rename": q_cdc_column_rename,
     "cdc_delete_where": q_cdc_delete_where,
     "cdc_update_where": q_cdc_update_where,
     # text pipeline
@@ -1712,6 +1777,7 @@ ORACLES: dict[str, str] = {
     "cdc_lsn_gaps": SQL_CDC_LSN_GAPS,
     "cdc_table_stats": SQL_CDC_TABLE_STATS,
     "cdc_schema_widening": SQL_CDC_SCHEMA_WIDENING,
+    "cdc_column_rename": SQL_CDC_COLUMN_RENAME,
     "cdc_delete_where": SQL_CDC_DELETE_WHERE,
     "cdc_update_where": SQL_CDC_UPDATE_WHERE,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
