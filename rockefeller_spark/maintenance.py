@@ -37,7 +37,7 @@ from collections import Counter
 from dataclasses import dataclass
 from typing import Any
 
-from rockefeller_spark.lake import LakeTable
+from rockefeller_spark.lake import CommitConflictError, LakeTable
 
 
 @dataclass
@@ -89,10 +89,17 @@ def maintain(table: LakeTable, policy: CompactionPolicy) -> dict[str, Any]:
     if n_delta_files and (
             n_delta_files > policy.max_delta_files
             or delta_rows > policy.max_delta_row_fraction * max(total_rows, 1)):
-        table.compact(drop_tombstones=policy.drop_tombstones,
-                      write_salt=policy.write_salt,
-                      target_rows_per_file=policy.target_rows_per_file)
-        actions["full_compact"] = True
+        # a maintenance daemon shares the table with live writers: losing
+        # the optimistic commit race to a stream batch is ROUTINE, not an
+        # error — drop the attempt (its staged files become grace-window
+        # orphans) and let the next cycle re-evaluate against the new head
+        try:
+            table.compact(drop_tombstones=policy.drop_tombstones,
+                          write_salt=policy.write_salt,
+                          target_rows_per_file=policy.target_rows_per_file)
+            actions["full_compact"] = True
+        except CommitConflictError:
+            actions["full_compact"] = "lost_race"
     elif not snap.multi_version:
         # incremental: rewrite only the worst-fragmented buckets. Census
         # loads only shards that COULD contain a bucket over the threshold
@@ -106,11 +113,19 @@ def maintain(table: LakeTable, policy: CompactionPolicy) -> dict[str, Any]:
         frag = [b for b, c in counts.most_common(policy.max_fragmented_buckets)
                 if c > policy.max_bucket_files]
         if frag:
-            table.compact(buckets=set(frag),
-                          drop_tombstones=policy.drop_tombstones,
-                          write_salt=policy.write_salt,
-                          target_rows_per_file=policy.target_rows_per_file)
-            actions["bucket_compacts"] = sorted(frag)
+            try:
+                table.compact(buckets=set(frag),
+                              drop_tombstones=policy.drop_tombstones,
+                              write_salt=policy.write_salt,
+                              target_rows_per_file=policy.target_rows_per_file)
+                actions["bucket_compacts"] = sorted(frag)
+            except CommitConflictError:
+                actions["bucket_compacts"] = "lost_race"
+            except ValueError:
+                # a MOR delta landed between the census and the compact:
+                # bucket-scoped compaction refuses on multi-version
+                # tables — next cycle's census will route to full compact
+                actions["bucket_compacts"] = "deferred_multi_version"
 
     if policy.expire_keep_last is not None:
         marker = os.path.join(table.meta_dir, ".last-orphan-sweep")

@@ -114,3 +114,88 @@ def test_two_concurrent_streams_one_table(spark, tmp_path):
     want = replay(pd.concat([ev_a.toPandas(), ev_b.toPandas()]))
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
+
+
+def test_two_streams_plus_maintenance_worker(spark, tmp_path):
+    """The fleet configuration: two concurrent MOR streams AND a
+    maintenance worker (compaction + expiry) hammering one table. MOR
+    appends always rebase under an unchanged layout; compaction commits
+    race the appliers (and vice versa, resolved by retries); expiry runs
+    under the maintenance lock. Final state must equal the sequential
+    oracle and reads must stay serveable throughout."""
+    from rockefeller_spark.maintenance import CompactionPolicy, maintain
+
+    tdir = str(tmp_path / "t")
+    LakeTable.create(spark, tdir, STORED_TRANSCRIPT_SCHEMA, n_buckets=8)
+    ev_a = _stream_events(spark, "a-", seed=71, lsn_base=0)
+    ev_b = _stream_events(spark, "b-", seed=72, lsn_base=10_000_000)
+    span = EVENTS_PER_STREAM // N_BATCH_FILES + 1
+    for name, ev, base in (("srcA", ev_a, 0), ("srcB", ev_b, 10_000_000)):
+        for k in range(N_BATCH_FILES):
+            lo = base + k * span
+            (ev.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + span))
+               .coalesce(1).write.mode("overwrite")
+               .parquet(str(tmp_path / name / f"seg-{k}")))
+
+    stop = threading.Event()
+    errors: list[Exception] = []
+    results: dict[str, list] = {"mA": [], "mB": []}
+
+    def maint_loop():
+        handle = LakeTable.load(spark, tdir)
+        pol = CompactionPolicy(max_delta_files=2, expire_keep_last=4,
+                               orphan_grace_s=3600.0)
+        while not stop.is_set():
+            try:
+                maintain(handle, pol)
+            except TimeoutError:
+                pass                      # lock contention: next cycle
+            except Exception as e:        # pragma: no cover
+                errors.append(e)
+                return
+            stop.wait(0.2)
+
+    def make_body(stream_id: str, handle: LakeTable):
+        def _body(batch_df, batch_id: int) -> None:
+            try:
+                res = apply_batch(handle, batch_df, stream_id=stream_id,
+                                  epoch=batch_id, mode="mor", retries=8)
+                results[stream_id].append(res)
+            except Exception as e:
+                errors.append(e)
+                raise
+        return _body
+
+    mt = threading.Thread(target=maint_loop)
+    mt.start()
+    queries = []
+    try:
+        for sid, src in (("mA", "srcA"), ("mB", "srcB")):
+            handle = LakeTable.load(spark, tdir)
+            q = (spark.readStream.format("parquet")
+                 .schema(S.CHANGE_EVENT_SCHEMA)
+                 .option("maxFilesPerTrigger", "1")
+                 .load(str(tmp_path / src / "seg-*"))
+                 .writeStream.foreachBatch(make_body(sid, handle))
+                 .option("checkpointLocation", str(tmp_path / f"ck-{sid}"))
+                 .trigger(availableNow=True)
+                 .start())
+            queries.append(q)
+        for q in queries:
+            q.awaitTermination(300)
+            assert q.exception() is None
+    finally:
+        stop.set()
+        mt.join(timeout=60)
+    assert not errors
+    assert len(results["mA"]) == len(results["mB"]) == N_BATCH_FILES
+    assert all(not r.skipped for rs in results.values() for r in rs)
+
+    table = LakeTable.load(spark, tdir)
+    # run one final resolve so the comparison reads a compacted state too
+    table.compact()
+    got = (read_state(table).toPandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    want = replay(pd.concat([ev_a.toPandas(), ev_b.toPandas()]))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
