@@ -180,3 +180,31 @@ def test_vintage_name_resolution_unit():
     assert s.vintage_name("z", None) == "z"
     # eras: v>=7 -> 0 newer entries; v in [5,7) -> 1; [3,5) -> 2; else 3
     assert [s.file_era(v) for v in (8, 6, 4, 2, None)] == [0, 1, 2, 3, 3]
+
+
+def test_rename_with_pending_mor_deltas(spark, table):
+    """Era mapping must cover bucket-spanning MOR delta files too: rename
+    while deltas are pending, append more deltas under the new name, and
+    the read-time LWW resolve sees one consistent column."""
+    ev = gen.gen_change_events(spark, n_events=200, n_convs=10, seed=49)
+    apply_batch(table, ev)                                   # CoW base
+    d1 = (gen.gen_change_events(spark, n_events=20, n_convs=2, seed=50)
+          .withColumn("lsn", F.col("lsn") + 10_000))
+    apply_batch(table, d1, mode="mor")                       # pre-rename delta
+    table.rename_column("text", "body")
+    d2 = (gen.gen_change_events(spark, n_events=20, n_convs=2, seed=51)
+          .withColumn("lsn", F.col("lsn") + 20_000)
+          .withColumnRenamed("text", "body"))
+    apply_batch(table, d2, mode="mor")                       # post-rename delta
+    st = read_state(table)
+    assert "body" in st.columns and "text" not in st.columns
+    assert st.filter(F.col("body").isNotNull()).count() > 0
+    # compaction folds all vintages into current-name files; state stable
+    before = st.toPandas().sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    table.compact()
+    after = (read_state(table).toPandas()
+             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(after, before, check_dtype=False)
+    assert table.current().file_era(
+        table.current().files[0].schema_v) == 0   # all files current-era
