@@ -43,6 +43,14 @@ def main() -> None:
                          "buckets; plain-scan reads) or merge-on-read "
                          "(append deltas, O(batch) apply; reads resolve "
                          "LWW until compaction)")
+    ap.add_argument("--retries", type=int, default=0,
+                    help="optimistic-concurrency recompute attempts per "
+                         "batch. REQUIRED > 0 when more than one writer "
+                         "targets the table (a second stream, a separate "
+                         "maintain_job worker): a losing commit first "
+                         "tries the metadata-only rebase, then recomputes "
+                         "up to this many times. Single-writer "
+                         "deployments keep 0 (fail fast)")
     ap.add_argument("--continuous", action="store_true")
     ap.add_argument("--max-files-per-trigger", type=int, default=64)
     ap.add_argument("--watermark", default="1 hour")
@@ -81,6 +89,7 @@ def main() -> None:
                    watermark=args.watermark,
                    write_salt=args.write_salt,
                    mode=args.mode,
+                   retries=args.retries,
                    quarantine_dir=args.quarantine,
                    compaction=policy,
                    metrics=metrics)
