@@ -482,3 +482,28 @@ def test_per_batch_expire_skips_orphan_sweep_and_policy_rate_limits(
     a2 = maintain(table, pol)
     assert a1["expired"]["orphan_sweep"] is True
     assert a2["expired"]["orphan_sweep"] is False
+
+
+def test_emptied_range_recarves_on_next_add(spark, tmp_path):
+    """A shard whose files are all removed drops its entry (the range
+    becomes a gap); later adds to those buckets re-carve a grid-aligned
+    range and the disjointness invariant holds throughout."""
+    table = LakeTable.create(spark, str(tmp_path / "tg"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=400, n_convs=20, seed=32)
+    apply_batch(table, ev)
+    snap = table.current()
+    victim = snap.manifests[0]
+    vrange = (victim.lo, victim.hi)
+    # remove every file in the victim shard (a compaction-to-empty shape)
+    table.commit([], {f.path for f in table._load_manifest(victim.path)})
+    assert vrange not in {(e.lo, e.hi) for e in table.current().manifests}
+    _assert_range_invariants(table)
+    # re-populate one of its buckets: the range re-carves from the gap
+    add = DataFile(f"data/{'a' * 32}-b{victim.lo:05d}.parquet",
+                   victim.lo, 10, 0, 9)
+    table.commit([add], set())
+    cur = table.current()
+    assert any(e.covers(victim.lo) for e in cur.manifests)
+    _assert_range_invariants(table)
+    assert add.path in {f.path for f in cur.files}
