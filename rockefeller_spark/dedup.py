@@ -59,25 +59,46 @@ DEFAULT_MAX_GROUP = 1000
 # intermediates, and an unevaluated lazy result would silently recompute
 # its shingling/signature subtrees.
 _TL = threading.local()
+# every thread's cache list, so blocks pinned by a thread that has since
+# exited (e.g. a ThreadPool sketch run) are still releasable from any
+# other thread via release_all_caches(); guarded by _SCOPES_LOCK
+_ALL_SCOPES: list[list[DataFrame]] = []
+_SCOPES_LOCK = threading.Lock()
 
 
 def _tl_caches() -> list[DataFrame]:
     if not hasattr(_TL, "caches"):
         _TL.caches = []
         _TL.scope_open = False
+        with _SCOPES_LOCK:
+            _ALL_SCOPES.append(_TL.caches)
     return _TL.caches
 
 
-def release_caches() -> None:
-    """Unpersist every intermediate cached by the calling thread's most
-    recent sketch call."""
-    caches = _tl_caches()
+def _drain(caches: list[DataFrame]) -> None:
     while caches:
         df = caches.pop()
         try:
             df.unpersist()
         except Exception:       # session already stopped: nothing to free
             pass
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate cached by the calling thread's most
+    recent sketch call."""
+    _drain(_tl_caches())
+
+
+def release_all_caches() -> None:
+    """Unpersist every sketch intermediate cached by ANY thread — the
+    session-teardown / pool-shutdown hook that frees blocks whose owning
+    worker thread already exited (its thread-local scope is unreachable
+    from other threads, but this global registry still holds it)."""
+    with _SCOPES_LOCK:
+        scopes = list(_ALL_SCOPES)
+    for caches in scopes:
+        _drain(caches)
 
 
 def _cache(df: DataFrame) -> DataFrame:

@@ -86,6 +86,15 @@ class CommitConflictError(RuntimeError):
     concurrency, single-winner)."""
 
 
+class MultiVersionError(ValueError):
+    """The requested operation needs a single-version table but
+    merge-on-read deltas are pending (run a full ``compact()`` first).
+    Subclasses ValueError for callers that matched the old message, but
+    lets maintenance distinguish this ROUTINE refusal (defer, retry next
+    cycle) from a genuine invariant-violation ValueError, which must
+    propagate."""
+
+
 @dataclass
 class DataFile:
     path: str          # relative to table root
@@ -160,6 +169,16 @@ class ManifestEntry:
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "ManifestEntry":
+        if "shard" in d and "lo" not in d:
+            # pre-range metadata (entries keyed by fixed shard id): parsing
+            # it as lo=None would misread every range shard as a bucket-
+            # spanning delta shard and silently resurrect removed files on
+            # the next CoW commit — refuse loudly instead.
+            raise ValueError(
+                "manifest entry uses the legacy fixed-shard layout "
+                f"({d.get('shard')!r}); this table was written by an older "
+                "engine version — rewrite it (read old + bootstrap new) "
+                "before opening with this engine")
         return ManifestEntry(d["path"], d.get("lo"), d.get("hi"),
                              d["n_files"], d["rows"],
                              d.get("min_lsn"), d.get("max_lsn"))
@@ -1146,7 +1165,7 @@ class LakeTable:
         reclaims them."""
         snap = self.current()
         if buckets is not None and snap.multi_version:
-            raise ValueError(
+            raise MultiVersionError(
                 "bucket-scoped compaction requires a single-version table "
                 "(pending merge-on-read deltas span buckets); run a full "
                 "compact() first")
@@ -1253,11 +1272,15 @@ class LakeTable:
         lock = os.path.join(self.meta_dir, MAINT_LOCK)
         token = uuid.uuid4().hex
         deadline = time.time() + timeout_s
+        fd = -1
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, f"{token} {os.getpid()} {time.time()}".encode())
-                os.close(fd)
+                # fd stays OPEN until release: ownership is then verified
+                # by inode identity (fstat on our own fd vs stat on the
+                # path) — no content re-read that could transiently fail
+                # and leave our lock stranded until the stale window
                 break
             except FileExistsError:
                 try:
@@ -1280,12 +1303,17 @@ class LakeTable:
         try:
             yield
         finally:
+            # still-owner check by inode: if a waiter stale-broke our lock
+            # (rename + delete) the path is gone or holds the successor's
+            # NEW file — a different inode — and we must not unlink it.
             try:
-                with open(lock) as fh:
-                    owner = fh.read().split(" ", 1)[0]
-            except (FileNotFoundError, OSError):
-                owner = None
-            if owner == token:
+                mine = os.fstat(fd)
+                cur = os.stat(lock)
+                owner = (mine.st_dev, mine.st_ino) == (cur.st_dev, cur.st_ino)
+            except OSError:
+                owner = False
+            os.close(fd)
+            if owner:
                 try:
                     os.remove(lock)
                 except FileNotFoundError:

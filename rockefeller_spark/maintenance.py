@@ -37,7 +37,8 @@ from collections import Counter
 from dataclasses import dataclass
 from typing import Any
 
-from rockefeller_spark.lake import CommitConflictError, LakeTable
+from rockefeller_spark.lake import (CommitConflictError, LakeTable,
+                                    MultiVersionError)
 
 
 @dataclass
@@ -121,10 +122,12 @@ def maintain(table: LakeTable, policy: CompactionPolicy) -> dict[str, Any]:
                 actions["bucket_compacts"] = sorted(frag)
             except CommitConflictError:
                 actions["bucket_compacts"] = "lost_race"
-            except ValueError:
+            except MultiVersionError:
                 # a MOR delta landed between the census and the compact:
                 # bucket-scoped compaction refuses on multi-version
-                # tables — next cycle's census will route to full compact
+                # tables — next cycle's census will route to full compact.
+                # Any OTHER ValueError (e.g. compact's rows-outside-buckets
+                # invariant) is a genuine engine bug and propagates.
                 actions["bucket_compacts"] = "deferred_multi_version"
 
     if policy.expire_keep_last is not None:

@@ -507,3 +507,66 @@ def test_emptied_range_recarves_on_next_add(spark, tmp_path):
     assert any(e.covers(victim.lo) for e in cur.manifests)
     _assert_range_invariants(table)
     assert add.path in {f.path for f in cur.files}
+
+
+def test_legacy_fixed_shard_manifest_entry_refused():
+    """ADVICE r5: a table written by the pre-range engine (entries keyed
+    by fixed 'shard' id) must refuse loudly, not parse every range shard
+    as a delta shard and resurrect removed files on the next commit."""
+    from rockefeller_spark.lake import ManifestEntry
+    with pytest.raises(ValueError, match="legacy fixed-shard"):
+        ManifestEntry.from_json({"shard": 3, "path": "metadata/m-x.json",
+                                 "n_files": 1, "rows": 10})
+    e = ManifestEntry.from_json({"path": "metadata/m-y.json", "lo": 0,
+                                 "hi": 4, "n_files": 1, "rows": 10})
+    assert (e.lo, e.hi) == (0, 4)
+
+
+def test_maintain_defers_only_multi_version_refusals(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r5: maintain() must treat the routine 'pending MOR deltas'
+    refusal as a deferral but let any OTHER ValueError (an invariant
+    violation — a genuine engine bug) propagate."""
+    from rockefeller_spark.lake import MultiVersionError
+    from rockefeller_spark.maintenance import CompactionPolicy, maintain
+    table = LakeTable.create(spark, str(tmp_path / "tv"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=2)
+    for seed in (41, 42, 43):              # appends accumulate files/bucket
+        bootstrap(table, gen.gen_transcripts(spark, n_convs=6, seed=seed))
+    pol = CompactionPolicy(max_bucket_files=2, expire_keep_last=None)
+
+    def refuse(**kw):
+        raise MultiVersionError("pending merge-on-read deltas")
+    monkeypatch.setattr(table, "compact", refuse)
+    acts = maintain(table, pol)
+    assert acts["bucket_compacts"] == "deferred_multi_version"
+
+    def invariant(**kw):
+        raise ValueError("compaction produced rows outside the requested buckets")
+    monkeypatch.setattr(table, "compact", invariant)
+    with pytest.raises(ValueError, match="outside the requested"):
+        maintain(table, pol)
+
+
+def test_lock_release_survives_successor_and_unreadable_path(table):
+    """ADVICE r5: release verifies ownership by INODE identity on the fd
+    it held open since acquisition — no content re-read that could fail
+    transiently and strand the holder's own lock on disk."""
+    lock = os.path.join(table.meta_dir, ".maint.lock")
+    # normal path: lock removed on exit
+    with table._maintenance_lock(timeout_s=1.0):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+    # lock REPLACED mid-hold (stale-broken by a waiter + successor took
+    # over): release must leave the successor's same-path lock alone
+    with table._maintenance_lock(timeout_s=1.0):
+        os.remove(lock)
+        with open(lock, "w") as fh:
+            fh.write("successor 2 0")
+    with open(lock) as fh:
+        assert fh.read().startswith("successor")
+    os.remove(lock)
+    # lock DELETED mid-hold: release is a clean no-op
+    with table._maintenance_lock(timeout_s=1.0):
+        os.remove(lock)
+    assert not os.path.exists(lock)

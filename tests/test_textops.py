@@ -259,3 +259,24 @@ def test_sketch_cache_scope_is_thread_local(spark, docs):
     assert list(D._tl_caches()) == a_gen
     assert all(df.storageLevel.useMemory for df in a_gen)
     D.release_caches()
+
+
+def test_release_all_caches_frees_dead_thread_scopes(spark, docs):
+    """ADVICE r5: intermediates persisted by a worker thread that has
+    since exited must still be releasable — release_all_caches() drains
+    every thread's scope via the global registry."""
+    import threading
+
+    holder: dict = {}
+
+    def worker():
+        D.minhash_dedup_pairs(docs).count()
+        holder["gen"] = list(D._tl_caches())
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert holder["gen"]
+    assert any(df.storageLevel.useMemory for df in holder["gen"])
+    D.release_all_caches()                 # called from the MAIN thread
+    assert all(df.storageLevel.useMemory is False for df in holder["gen"])
