@@ -1,0 +1,166 @@
+"""Commit-protocol storage backends (the object-store deployment seam).
+
+The icelake commit protocol needs exactly three primitives beyond plain
+write-once blobs (see the protocol notes at the top of ``lake.py``):
+
+1. **put-if-absent** of an immutable metadata object (the version race:
+   two writers of ``v{N}.json``, one winner);
+2. **monotonic pointer advance** of the readers' current-version pointer
+   (``version-hint.text``);
+3. object delete / existence (expiry, orphan reclaim).
+
+``PosixBackend`` implements them with the POSIX forms this sandbox runs
+on (``O_EXCL`` create; write-temp + atomic ``rename``). On an S3-class
+object store the same contract maps to a conditional PUT
+(``If-None-Match: *`` — supported by S3, GCS and Azure) for (1) and a
+catalog compare-and-swap (Iceberg's catalog pointer; a DynamoDB
+conditional update) for (2); ``FakeObjectStoreBackend`` emulates exactly
+those semantics — it REJECTS any blind overwrite at the API level, never
+uses rename for visibility, and implements the pointer as a locked
+read-compare-write (a catalog row update), so the commit/crash/race
+suites prove the ENGINE depends only on the portable contract, not on
+POSIX rename atomicity or overwrite behavior.
+
+(The maintenance mutex — primitive 3 of the lake.py protocol notes — maps
+to a TTL lease in a transactional store; it serializes only maintenance
+and is orthogonal to the commit protocol, so it stays POSIX here.)
+"""
+
+from __future__ import annotations
+
+import fcntl
+import os
+import uuid
+
+
+class BlindOverwriteError(RuntimeError):
+    """The fake object store refused an unconditional overwrite of an
+    existing object — immutable metadata must only ever be written with
+    put-if-absent semantics."""
+
+
+class PosixBackend:
+    """The POSIX implementation of the commit-protocol contract (what a
+    local/NFS/HDFS deployment uses)."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    # -- primitive 1: conditional create of an immutable object ----------
+    def put_if_absent(self, rel: str, data: bytes) -> None:
+        """Create-or-raise: ``FileExistsError`` when the object already
+        exists (the caller translates to its conflict type)."""
+        fd = os.open(self._abs(rel), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    # -- primitive 2: the readers' current-version pointer ----------------
+    def read_pointer(self, rel: str) -> int:
+        with open(self._abs(rel)) as fh:
+            return int(fh.read().strip())
+
+    def advance_pointer(self, rel: str, version: int) -> None:
+        """Publish ``version`` as the current pointer. POSIX form: write-
+        temp + atomic rename. The blind swap is safe under the commit
+        protocol's ordering invariant: a writer of v(N+1) only exists
+        after the pointer already published vN (it read vN through this
+        pointer), so a later rename can never carry an older version."""
+        tmp = self._abs(f"{rel}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self._abs(rel))
+
+    # -- blob management ---------------------------------------------------
+    def read(self, rel: str) -> bytes:
+        with open(self._abs(rel), "rb") as fh:
+            return fh.read()
+
+    def exists(self, rel: str) -> bool:
+        return os.path.exists(self._abs(rel))
+
+    def delete(self, rel: str) -> None:
+        os.remove(self._abs(rel))
+
+
+class FakeObjectStoreBackend:
+    """S3-semantics test double over a plain directory: conditional PUT
+    and catalog-CAS only — no rename-based visibility, blind overwrites
+    of existing objects raise ``BlindOverwriteError``. A cross-process
+    ``fcntl`` lock on ``.objectstore.lock`` stands in for the store's
+    server-side conditional-operation atomicity (each call opens its own
+    fd, so the lock also serializes threads within one process)."""
+
+    LOCK_FILE = ".objectstore.lock"
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    class _lock:
+        def __init__(self, backend: "FakeObjectStoreBackend"):
+            self.path = os.path.join(backend.root,
+                                     FakeObjectStoreBackend.LOCK_FILE)
+
+        def __enter__(self):
+            self.fd = os.open(self.path, os.O_CREAT | os.O_WRONLY)
+            fcntl.flock(self.fd, fcntl.LOCK_EX)
+            return self
+
+        def __exit__(self, *exc):
+            fcntl.flock(self.fd, fcntl.LOCK_UN)
+            os.close(self.fd)
+
+    def put_if_absent(self, rel: str, data: bytes) -> None:
+        with self._lock(self):
+            path = self._abs(rel)
+            if os.path.exists(path):
+                raise FileExistsError(rel)      # HTTP 412 PreconditionFailed
+            with open(path, "wb") as fh:        # no O_EXCL, no rename: the
+                fh.write(data)                  # LOCK models the store's
+                fh.flush()                      # server-side atomicity
+                os.fsync(fh.fileno())
+
+    def read_pointer(self, rel: str) -> int:
+        with self._lock(self):
+            with open(self._abs(rel)) as fh:
+                return int(fh.read().strip())
+
+    def advance_pointer(self, rel: str, version: int) -> None:
+        """Catalog-style compare-and-swap, monotonic: the pointer only
+        ever moves forward, so even a delayed/replayed publish cannot
+        regress readers to an older snapshot."""
+        with self._lock(self):
+            path = self._abs(rel)
+            cur = -1
+            try:
+                with open(path) as fh:
+                    cur = int(fh.read().strip())
+            except FileNotFoundError:
+                pass
+            if version <= cur:
+                return                          # CAS lost to a newer publish
+            with open(path, "w") as fh:         # in-place row update (no
+                fh.write(str(version))          # rename), guarded by the
+                fh.flush()                      # store-atomicity lock
+                os.fsync(fh.fileno())
+
+    def read(self, rel: str) -> bytes:
+        with open(self._abs(rel), "rb") as fh:
+            return fh.read()
+
+    def exists(self, rel: str) -> bool:
+        return os.path.exists(self._abs(rel))
+
+    def delete(self, rel: str) -> None:
+        with self._lock(self):
+            os.remove(self._abs(rel))

@@ -67,13 +67,22 @@ import uuid
 from concurrent.futures import ThreadPoolExecutor
 from contextlib import contextmanager
 from dataclasses import dataclass
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Any, Callable
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:                             # ~5x faster manifest parse when present
+    import orjson as _fastjson   # public PyPI package, optional
+except ImportError:              # pragma: no cover - env without orjson
+    _fastjson = None
+
+
+def _json_loads(raw: bytes) -> Any:
+    return _fastjson.loads(raw) if _fastjson is not None else json.loads(raw)
 
 HINT_FILE = "version-hint.text"
 MAINT_LOCK = ".maint.lock"
@@ -95,7 +104,7 @@ class MultiVersionError(ValueError):
     propagate."""
 
 
-@dataclass
+@dataclass(slots=True)
 class DataFile:
     path: str          # relative to table root
     bucket: int | None
@@ -114,6 +123,16 @@ class DataFile:
     # tracks the same lineage with field ids). None = predates the name
     # log entirely (every log entry applies).
     schema_v: int | None = None
+    # per-column data-skipping stats (Iceberg's lower/upper bounds): the
+    # event-time range of the file's rows as epoch MICROS, stamped from
+    # parquet footer stats at stage time. Time-bounded reads (the
+    # change-feed-by-timestamp shape) prune whole files on these.
+    min_ts: int | None = None
+    max_ts: int | None = None
+    # sort marker (Iceberg sort-order analog): names of the columns this
+    # file's rows are clustered by (compaction's key sort), so readers
+    # know row-group stats are selective without re-deriving it.
+    sorted_by: list[str] | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {"path": self.path, "bucket": self.bucket,
@@ -123,13 +142,46 @@ class DataFile:
             d["buckets"] = self.buckets
         if self.schema_v is not None:
             d["schema_v"] = self.schema_v
+        if self.min_ts is not None:
+            d["min_ts"] = self.min_ts
+            d["max_ts"] = self.max_ts
+        if self.sorted_by is not None:
+            d["sorted_by"] = self.sorted_by
         return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "DataFile":
         return DataFile(d["path"], d.get("bucket"), d["rows"],
                         d.get("min_lsn"), d.get("max_lsn"),
-                        d.get("buckets"), d.get("schema_v"))
+                        d.get("buckets"), d.get("schema_v"),
+                        d.get("min_ts"), d.get("max_ts"),
+                        d.get("sorted_by"))
+
+
+# columnar manifest layout (format_version 2): one list per DataFile field,
+# parallel by index — array-of-arrays JSON parses ~3x faster than
+# array-of-objects (no per-file dict), and scale consumers can use the raw
+# columns WITHOUT constructing DataFile objects at all (_cols_* helpers).
+_COL_FIELDS = ("path", "bucket", "rows", "min_lsn", "max_lsn",
+               "buckets", "schema_v", "min_ts", "max_ts", "sorted_by")
+
+
+def _files_to_cols(files: list[DataFile]) -> dict[str, list]:
+    return {name: [getattr(f, name) for f in files] for name in _COL_FIELDS}
+
+
+def _cols_to_files(cols: dict[str, list]) -> list[DataFile]:
+    return [DataFile(*vals) for vals in zip(*(cols[n] for n in _COL_FIELDS))]
+
+
+def _cols_to_files_except(cols: dict[str, list],
+                          exclude: set[str]) -> list[DataFile]:
+    """Construct DataFiles only for entries NOT in ``exclude`` (path set).
+    A commit that removes most of a shard (compaction, rescale) then pays
+    object construction only for survivors — a FULL compact constructs
+    zero objects from 10^7 removed entries instead of 10^7 throwaways."""
+    return [DataFile(*vals) for vals in zip(*(cols[n] for n in _COL_FIELDS))
+            if vals[0] not in exclude]
 
 
 @dataclass
@@ -233,6 +285,7 @@ class Snapshot:
                  multi_version: bool = False, *,
                  manifests: list[ManifestEntry] | None = None,
                  loader: Callable[[str], list[DataFile]] | None = None,
+                 cols_loader: Callable[[str], dict[str, list]] | None = None,
                  name_log: list[dict[str, Any]] | None = None):
         self.snapshot_id = snapshot_id
         self.parent_id = parent_id
@@ -258,6 +311,7 @@ class Snapshot:
             list(files) if files is not None else None)
         self.manifests = manifests
         self._loader = loader
+        self._cols_loader = cols_loader
 
     @property
     def files(self) -> list[DataFile]:
@@ -295,6 +349,20 @@ class Snapshot:
                 out.extend(f for f in self._loader(e.path) if keep(f))
         return out
 
+    def file_columns(self):
+        """Iterate the FULL file list as per-shard COLUMNAR views (dicts
+        of parallel lists keyed by ``DataFile`` field name) — the scale
+        path for whole-table metadata consumers that need a column or two
+        (read planning, the orphan sweep, compaction sizing). Skips
+        DataFile construction entirely: at 10^7 files that construction
+        alone costs ~7 s of GIL-bound driver time, ~3x the parse itself."""
+        if self._files is not None or self.manifests is None \
+                or self._cols_loader is None:
+            yield _files_to_cols(self.files)
+            return
+        for e in self.manifests:
+            yield self._cols_loader(e.path)
+
     def to_json(self) -> dict[str, Any]:
         if self.manifests is None:
             raise RuntimeError(
@@ -317,7 +385,8 @@ class Snapshot:
 
     @staticmethod
     def from_json(d: dict[str, Any],
-                  loader: Callable[[str], list[DataFile]] | None = None
+                  loader: Callable[[str], list[DataFile]] | None = None,
+                  cols_loader: Callable[[str], dict[str, list]] | None = None
                   ) -> "Snapshot":
         return Snapshot(
             snapshot_id=d["snapshot_id"],
@@ -335,6 +404,7 @@ class Snapshot:
                        for e in d.get("manifests", [])] if "manifests" in d
                       else None,
             loader=loader,
+            cols_loader=cols_loader,
             name_log=d.get("name_log", []),
         )
 
@@ -531,7 +601,8 @@ class LakeTable:
         try:
             with open(self._meta_path(version)) as fh:
                 return Snapshot.from_json(json.load(fh),
-                                          loader=self._load_manifest)
+                                          loader=self._load_manifest,
+                                          cols_loader=self._load_manifest_cols)
         except FileNotFoundError:
             raise ValueError(
                 f"snapshot v{version} does not exist (never committed, or "
@@ -562,23 +633,49 @@ class LakeTable:
         return max(cands, key=lambda s: s.snapshot_id)
 
     # ------------------------------------------------------------- manifests
+    def _read_manifest_raw(self, rel_path: str) -> dict[str, Any]:
+        with open(os.path.join(self.path, rel_path), "rb") as fh:
+            return _json_loads(fh.read())
+
     def _load_manifest(self, rel_path: str) -> list[DataFile]:
         files = self._manifest_cache.get(rel_path)
         if files is None:
-            with open(os.path.join(self.path, rel_path)) as fh:
-                files = [DataFile.from_json(f)
-                         for f in json.load(fh)["files"]]
+            d = self._read_manifest_raw(rel_path)
+            if "cols" in d:
+                files = _cols_to_files(d["cols"])
+            else:                          # format_version 1 (row-form)
+                files = [DataFile.from_json(f) for f in d["files"]]
             self._manifest_cache[rel_path] = files
         return files
+
+    def _load_manifest_cols(self, rel_path: str) -> dict[str, list]:
+        """Columnar view of one manifest shard — parse WITHOUT building a
+        DataFile per entry. At 10^7 files object construction alone costs
+        ~7 s of GIL-bound driver time; full-table consumers that need only
+        a column or two (read planning: path+schema_v; orphan sweep: path;
+        compact sizing: bucket+rows) go through this instead."""
+        files = self._manifest_cache.get(rel_path)
+        if files is not None:              # objects already paid for
+            return _files_to_cols(files)
+        d = self._read_manifest_raw(rel_path)
+        if "cols" in d:
+            return d["cols"]
+        cols: dict[str, list] = {n: [] for n in _COL_FIELDS}
+        for f in d["files"]:               # legacy row-form shard
+            for n in _COL_FIELDS:
+                cols[n].append(f.get(n) if n != "path" else f["path"])
+        return cols
 
     def _write_manifest(self, files: list[DataFile], lo: int | None,
                         hi: int | None) -> ManifestEntry:
         rel = os.path.join("metadata", f"m-{uuid.uuid4().hex}.json")
         fd = os.open(os.path.join(self.path, rel),
                      os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"format_version": 1,
-                       "files": [f.to_json() for f in files]}, fh)
+        payload = {"format_version": 2, "cols": _files_to_cols(files)}
+        blob = (_fastjson.dumps(payload) if _fastjson is not None
+                else json.dumps(payload).encode())
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(blob)
             fh.flush()
             os.fsync(fh.fileno())
         self._manifest_cache[rel] = list(files)
@@ -701,8 +798,8 @@ class LakeTable:
         for e in range_entries:
             if hits(e.lo, e.hi):
                 ranges.append((e.lo, e.hi))
-                pool.extend(f for f in self._load_manifest(e.path)
-                            if f.path not in remove_paths)
+                pool.extend(_cols_to_files_except(
+                    self._load_manifest_cols(e.path), remove_paths))
             else:
                 out.append(e)
 
@@ -748,8 +845,8 @@ class LakeTable:
 
         if delta_touched:
             dpool = [f for e in delta_entries
-                     for f in self._load_manifest(e.path)
-                     if f.path not in remove_paths]
+                     for f in _cols_to_files_except(
+                         self._load_manifest_cols(e.path), remove_paths)]
             dpool.extend(delta_adds)
             if dpool:
                 out.extend(self._emit_delta(dpool))
@@ -894,25 +991,48 @@ class LakeTable:
                     shutil.move(os.path.join(bdir, fname), dst)
                     moves.append((bucket, dst))
 
+        def _col_minmax(meta, names: list[str], col: str):
+            try:
+                idx = names.index(col)
+            except ValueError:
+                return None, None
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            if not mins:
+                return None, None
+            return min(mins), max(maxs)
+
+        def _micros(v) -> int | None:
+            # parquet timestamp stats surface as datetime (tz-naive UTC in
+            # this engine; session timezone pinned) or raw int micros
+            if v is None:
+                return None
+            if isinstance(v, datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=timezone.utc)
+                return int(v.timestamp() * 1_000_000)
+            return int(v)
+
         def stat_one(item: tuple[int | None, str]) -> DataFile:
             bucket, dst = item
             meta = pq.ParquetFile(dst).metadata
-            min_lsn = max_lsn = None
-            try:
-                idx = [meta.schema.column(i).name
-                       for i in range(meta.num_columns)].index("_lsn")
-                mins, maxs = [], []
-                for rg in range(meta.num_row_groups):
-                    st = meta.row_group(rg).column(idx).statistics
-                    if st is not None and st.has_min_max:
-                        mins.append(st.min)
-                        maxs.append(st.max)
-                if mins:
-                    min_lsn, max_lsn = int(min(mins)), int(max(maxs))
-            except ValueError:
-                pass
+            names = [meta.schema.column(i).name
+                     for i in range(meta.num_columns)]
+            lo, hi = _col_minmax(meta, names, "_lsn")
+            min_lsn = int(lo) if lo is not None else None
+            max_lsn = int(hi) if hi is not None else None
+            # event-time bounds (epoch micros) for time-bounded file
+            # pruning — Iceberg's per-column lower/upper bounds, limited
+            # to the column the change feed's timestamp reads filter on
+            tlo, thi = _col_minmax(meta, names, "ts")
             return DataFile(os.path.join("data", os.path.basename(dst)),
-                            bucket, meta.num_rows, min_lsn, max_lsn)
+                            bucket, meta.num_rows, min_lsn, max_lsn,
+                            min_ts=_micros(tlo), max_ts=_micros(thi),
+                            sorted_by=list(sort_cols) if sort_cols else None)
 
         # footer stats are tiny independent I/O reads; done serially they
         # dominate small-batch commits (≤n_buckets files × ~20 ms each),
@@ -971,6 +1091,7 @@ class LakeTable:
                            else multi_version),
             manifests=manifests,
             loader=self._load_manifest,
+            cols_loader=self._load_manifest_cols,
             name_log=name_log,
         )
         self._write_snapshot(snap)
@@ -1061,9 +1182,18 @@ class LakeTable:
                            name_log_append={"drop": col})
 
     # ------------------------------------------------------------------ reads
+    @staticmethod
+    def _ts_micros(v: "int | float | datetime") -> int:
+        if isinstance(v, datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=timezone.utc)
+            return int(v.timestamp() * 1_000_000)
+        return int(v)
+
     def read(self, snapshot_id: int | None = None,
              buckets: set[int] | None = None, *,
-             as_of: "int | float | datetime | None" = None) -> DataFrame:
+             as_of: "int | float | datetime | None" = None,
+             ts_range: "tuple | None" = None) -> DataFrame:
         """Snapshot-pinned read. Old files lacking newer (evolved) columns
         are null-filled because the read uses the snapshot's full schema.
         ``buckets`` prunes to the named key buckets via file stats — no
@@ -1075,7 +1205,18 @@ class LakeTable:
         set (``DataFile.buckets``, stamped at append time) intersects — an
         unannotated delta is always included. ``as_of`` reads the snapshot
         current at that timestamp (:meth:`snapshot_as_of`) instead of by
-        id."""
+        id.
+
+        ``ts_range=(lo, hi)`` (each an epoch-micros int or a datetime;
+        either side None for open-ended) returns only rows whose event
+        time ``ts`` falls in the CLOSED range — and prunes whole FILES
+        first on the per-file ``min_ts``/``max_ts`` footer bounds stamped
+        at write (Iceberg per-column stats): a time-bounded read of a
+        long-lived table opens only the files whose time range overlaps,
+        flat in table size once compaction has clustered history. Files
+        without ts stats are conservatively kept; the row-level filter
+        keeps the result exact either way (rows with NULL ts never
+        qualify)."""
         if as_of is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or as_of, not both")
@@ -1083,13 +1224,68 @@ class LakeTable:
         else:
             snap = (self.snapshot(snapshot_id) if snapshot_id is not None
                     else self.current())
-        files = snap.files_for(buckets)
-        if not files:
-            return self.spark.createDataFrame([], snap.schema)
-        if not snap.name_log:
-            # fast path (tables that never renamed/dropped): one scan
-            paths = [os.path.join(self.path, f.path) for f in files]
-            return self.spark.read.schema(snap.schema).parquet(*paths)
+        ts_lo = ts_hi = None
+        if ts_range is not None:
+            lo, hi = ts_range
+            ts_lo = self._ts_micros(lo) if lo is not None else None
+            ts_hi = self._ts_micros(hi) if hi is not None else None
+
+        def ts_keep(fmin: int | None, fmax: int | None) -> bool:
+            # overlap test on file bounds; unknown bounds always kept
+            if ts_hi is not None and fmin is not None and fmin > ts_hi:
+                return False
+            if ts_lo is not None and fmax is not None and fmax < ts_lo:
+                return False
+            return True
+
+        # plan from COLUMNS, not DataFile objects: a full-table read at
+        # 10^7 files needs only (path, schema_v[, era], ts bounds) —
+        # object construction would triple the driver-side planning cost
+        by_era: dict[int, list[str]] = {}      # era -> absolute paths
+        era_sv: dict[int, int | None] = {}     # era -> a representative sv
+        if buckets is None:
+            era_cache: dict[int | None, int] = {}
+            for cols in snap.file_columns():
+                if not snap.name_log and ts_range is None:
+                    # single era, no pruning: skip per-file work entirely
+                    by_era.setdefault(0, []).extend(
+                        os.path.join(self.path, p) for p in cols["path"])
+                    continue
+                for p, sv, fmin, fmax in zip(cols["path"], cols["schema_v"],
+                                             cols["min_ts"], cols["max_ts"]):
+                    if not ts_keep(fmin, fmax):
+                        continue
+                    era = era_cache.get(sv)
+                    if era is None:
+                        era = snap.file_era(sv)
+                        era_cache[sv] = era
+                    by_era.setdefault(era, []).append(
+                        os.path.join(self.path, p))
+                    era_sv.setdefault(era, sv)
+        else:
+            for f in snap.files_for(buckets):
+                if not ts_keep(f.min_ts, f.max_ts):
+                    continue
+                era = snap.file_era(f.schema_v)
+                by_era.setdefault(era, []).append(
+                    os.path.join(self.path, f.path))
+                era_sv.setdefault(era, f.schema_v)
+        def ts_filter(df: DataFrame) -> DataFrame:
+            # exact row-level bound on top of the file pruning (pushed to
+            # the parquet scan, so row groups prune on the same stats)
+            if ts_lo is not None:
+                df = df.filter(F.col("ts") >= F.timestamp_micros(F.lit(ts_lo)))
+            if ts_hi is not None:
+                df = df.filter(F.col("ts") <= F.timestamp_micros(F.lit(ts_hi)))
+            return df
+
+        if not by_era:
+            return ts_filter(self.spark.createDataFrame([], snap.schema))
+        if set(by_era) == {0}:
+            # fast path (current-vintage files only — in particular every
+            # table that never renamed/dropped): one scan, no Union
+            return ts_filter(
+                self.spark.read.schema(snap.schema).parquet(*by_era[0]))
         # era-grouped read: files written before a rename/drop carry the
         # then-current column names on disk; each era (files sharing a
         # column mapping — at most len(name_log)+1 groups) scans with its
@@ -1097,17 +1293,13 @@ class LakeTable:
         # groups union by name. Columns whose lineage terminates before
         # the file's vintage (added or re-added later) read as NULL —
         # a dropped-and-readded name never resurfaces stale values.
-        by_era: dict[int, list[DataFile]] = {}
-        for f in files:
-            by_era.setdefault(snap.file_era(f.schema_v), []).append(f)
         parts: list[DataFrame] = []
-        for era, fs in sorted(by_era.items()):
-            paths = [os.path.join(self.path, f.path) for f in fs]
+        for era, paths in sorted(by_era.items()):
             if era == 0:
                 parts.append(
                     self.spark.read.schema(snap.schema).parquet(*paths))
                 continue
-            sv = fs[0].schema_v       # same era ⇒ identical mapping
+            sv = era_sv[era]          # same era ⇒ identical mapping
             read_fields: list[T.StructField] = []
             select_exprs = []
             for fld in snap.schema.fields:
@@ -1125,7 +1317,7 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return ts_filter(out)
 
     def compact(self, *, drop_tombstones: bool = True,
                 write_salt: int = 0,
@@ -1178,14 +1370,24 @@ class LakeTable:
         salt_counts: dict[int, int] | None = None
         if target_rows_per_file is not None:
             # per-bucket sizing from footer stats; bucket-spanning delta
-            # rows (bucket unknown until rewrite) are attributed uniformly
+            # rows (bucket unknown until rewrite) are attributed uniformly.
+            # Full-table sizing walks the COLUMNAR view (no DataFile
+            # objects — O(parse) driver cost at any file count).
             per_bucket: dict[int, int] = {}
             delta_rows = 0
-            for f in snap.files_for(buckets):
-                if f.bucket is None:
-                    delta_rows += f.rows
-                else:
-                    per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + f.rows
+            if buckets is None:
+                for cols in snap.file_columns():
+                    for b, r in zip(cols["bucket"], cols["rows"]):
+                        if b is None:
+                            delta_rows += r
+                        else:
+                            per_bucket[b] = per_bucket.get(b, 0) + r
+            else:
+                for f in snap.files_for(buckets):
+                    if f.bucket is None:
+                        delta_rows += f.rows
+                    else:
+                        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + f.rows
             spread = delta_rows // max(snap.n_buckets, 1)
             salt_counts = {
                 b: max(1, -(-(r + spread) // target_rows_per_file))
@@ -1195,7 +1397,8 @@ class LakeTable:
             sort_cols=[snap.bucket_col] if sort_by_key else None,
             salt_counts=salt_counts)
         if buckets is None:
-            remove = {f.path for f in snap.files}
+            remove = {p for cols in snap.file_columns()
+                      for p in cols["path"]}
         else:
             bad = {f.bucket for f in adds} - buckets
             if bad:
@@ -1239,7 +1442,9 @@ class LakeTable:
             df = dedupe_lww(df, order_col="_lsn")
         adds = self._stage_write(df, new_n_buckets, snap.bucket_col,
                                  write_salt, sort_cols=[snap.bucket_col])
-        return self.commit(adds, {f.path for f in snap.files},
+        return self.commit(adds,
+                           {p for cols in snap.file_columns()
+                            for p in cols["path"]},
                            lineage={"op": "rescale_buckets",
                                     "from": snap.n_buckets,
                                     "to": new_n_buckets},
@@ -1349,6 +1554,7 @@ class LakeTable:
                 manifests=(list(target.manifests)
                            if target.manifests is not None else None),
                 loader=self._load_manifest,
+                cols_loader=self._load_manifest_cols,
                 name_log=list(target.name_log),
             )
             if snap.manifests is None:
@@ -1454,23 +1660,23 @@ class LakeTable:
             def _member(e: ManifestEntry, path: str) -> bool:
                 ms = member_memo.get(e.path)
                 if ms is None:
-                    ms = {g.path for g in self._load_manifest(e.path)}
+                    ms = set(self._load_manifest_cols(e.path)["path"])
                     member_memo[e.path] = ms
                 return path in ms
 
-            def alive(f: DataFile) -> bool:
+            def alive(path: str, bucket: int | None) -> bool:
                 """Is this file referenced by ANY retained snapshot? A
                 bucketed file can only live in a shard covering its
                 bucket, so only that shard (plus delta shards for delta
                 files) is consulted — loads are cached and shared."""
                 for los, res, deltas in ranged:
-                    if f.bucket is None:
-                        if any(_member(e, f.path) for e in deltas):
+                    if bucket is None:
+                        if any(_member(e, path) for e in deltas):
                             return True
                         continue
-                    i = bisect.bisect_right(los, f.bucket) - 1
-                    if i >= 0 and res[i].covers(f.bucket) \
-                            and _member(res[i], f.path):
+                    i = bisect.bisect_right(los, bucket) - 1
+                    if i >= 0 and res[i].covers(bucket) \
+                            and _member(res[i], path):
                         return True
                 return False
 
@@ -1478,13 +1684,14 @@ class LakeTable:
             freed_bytes = 0
             seen: set[str] = set()
             for e in expired_only.values():
-                for f in self._load_manifest(e.path):
-                    if f.path in seen:
+                cols = self._load_manifest_cols(e.path)
+                for path, bucket in zip(cols["path"], cols["bucket"]):
+                    if path in seen:
                         continue
-                    seen.add(f.path)
-                    if alive(f):
+                    seen.add(path)
+                    if alive(path, bucket):
                         continue
-                    full = os.path.join(self.path, f.path)
+                    full = os.path.join(self.path, path)
                     try:
                         freed_bytes += os.path.getsize(full)
                         os.remove(full)
@@ -1510,7 +1717,15 @@ class LakeTable:
             now = time.time()
             orphan_dirs = 0
             if clean_orphans:
-                referenced = {f.path for s in retained for f in s.files}
+                # reference set from COLUMNS, one parse per distinct shard
+                # across all retained snapshots (shared shards dedup by
+                # path) — no DataFile objects for this path-only consumer
+                referenced: set[str] = set()
+                for s in retained:
+                    if s.manifests is None:   # materialized-only snapshot
+                        referenced.update(f.path for f in s.files)
+                for rel in retained_manifests:
+                    referenced.update(self._load_manifest_cols(rel)["path"])
                 for fname in os.listdir(self.data_dir):
                     rel = os.path.join("data", fname)
                     if rel in referenced:

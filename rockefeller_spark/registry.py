@@ -278,6 +278,70 @@ SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT conv_id, turn_idx FROM ch)) AS sto
 """
 
 
+_TSPRUNE_SCRATCH = os.path.join(tempfile.gettempdir(),
+                                f"rk-tsprune-scratch-{os.getpid()}")
+atexit.register(shutil.rmtree, _TSPRUNE_SCRATCH, True)
+
+
+def q_cdc_time_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data skipping (round 6): files carry event-time
+    ``min_ts``/``max_ts`` footer bounds in their manifests, and a
+    time-bounded read (``read(ts_range=...)`` — the change-feed-by-
+    timestamp shape) prunes whole FILES before any scan. The table is
+    built from four time-sliced appends (the natural time-clustered
+    layout of an append-mostly history table); the read asks for the
+    middle half-window. Verified IN-QUERY from the physical plan: the
+    scan's ``inputFiles()`` must (a) all overlap the window per their
+    stamped bounds and (b) be a strict subset of the table's files —
+    at least one file was actually skipped. Oracle: the same change
+    mapping + micros window filter in SQL."""
+    ev = events_as_changes(_t(spark, sf_dir, "events"))
+    from rockefeller_spark.cdc import winners_to_stored
+    stored = winners_to_stored(ev).filter(F.col("ts").isNotNull())
+    mn, mx = (stored.agg(F.min(F.unix_micros("ts")),
+                         F.max(F.unix_micros("ts"))).collect()[0])
+    q = [mn, mn + (mx - mn) // 4, mn + (mx - mn) // 2,
+         mn + 3 * (mx - mn) // 4, mx + 1]
+    shutil.rmtree(_TSPRUNE_SCRATCH, ignore_errors=True)
+    table = LakeTable.create(spark, os.path.join(_TSPRUNE_SCRATCH, "t"),
+                             stored.schema, n_buckets=4)
+    for i in range(4):       # time-sliced appends => time-clustered files
+        table.append(stored.filter(
+            (F.unix_micros("ts") >= q[i]) & (F.unix_micros("ts") < q[i + 1])))
+    lo, hi = q[1], q[2]      # the second quarter, closed window
+    df = table.read(ts_range=(lo, hi))
+    # --- in-query pruning asserts (metadata vs physical plan) ---
+    snap = table.current()
+    bounds = {os.path.basename(f.path): (f.min_ts, f.max_ts)
+              for f in snap.files}          # file names are uuid-unique
+    opened = {os.path.basename(p) for p in df.inputFiles()}
+    assert opened, "time-bounded read planned no files"
+    assert len(opened) < len(bounds), \
+        "no file was pruned — the window should skip at least one slice"
+    for p in opened:
+        fmin, fmax = bounds[p]
+        assert fmin is not None and fmin <= hi and fmax >= lo, \
+            f"scan opened a file outside the ts window: {p}"
+    return df.select("conv_id", "turn_idx", "role", "text", "tool",
+                     F.unix_micros("ts").alias("ts_us"),
+                     F.col("_lsn").alias("lsn"))
+
+
+SQL_CDC_TIME_PRUNED_READ = """
+WITH ch AS (
+  SELECT event_id AS lsn,
+         'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 20 AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text,
+         CAST(NULL AS VARCHAR) AS tool, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type <> 'error'),
+b AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM ch)
+SELECT conv_id, turn_idx, role, text, tool, ts_us, lsn
+FROM ch, b
+WHERE ts_us >= mn + (mx - mn) // 4 AND ts_us <= mn + (mx - mn) // 2
+"""
+
+
 _WIDEN_SCRATCH = os.path.join(tempfile.gettempdir(),
                               f"rk-widen-scratch-{os.getpid()}")
 atexit.register(shutil.rmtree, _WIDEN_SCRATCH, True)
@@ -496,31 +560,33 @@ FROM w WHERE rn = 1 AND op <> 'D'
 
 
 def q_cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both last-writer-wins reductions — the plain fused ``max_by`` and
+    the two-stage SALTED variant (the hot-key defense) — in one
+    oracle-gated result, each row tagged with its variant (consolidated
+    round 6 to fit the driver's 50-query correctness window; the oracle
+    produces both tagged copies, so each variant is still independently
+    value-checked)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id",
                                             "event_type", "value")
-    w = dedupe_lww(ev, key_cols=["user_id"], order_col="event_id")
-    return w.select("user_id",
-                    F.col("event_id").alias("last_event_id"),
-                    F.col("event_type").alias("last_event_type"),
-                    F.col("value").alias("last_value"))
+    plain = dedupe_lww(ev, key_cols=["user_id"], order_col="event_id")
+    salted = dedupe_lww_salted(ev, key_cols=["user_id"],
+                               order_col="event_id", n_salts=8)
 
+    def shape(w: DataFrame, variant: str) -> DataFrame:
+        return w.select(F.lit(variant).alias("variant"), "user_id",
+                        F.col("event_id").alias("last_event_id"),
+                        F.col("event_type").alias("last_event_type"),
+                        F.col("value").alias("last_value"))
 
-def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_id",
-                                            "event_type", "value")
-    w = dedupe_lww_salted(ev, key_cols=["user_id"], order_col="event_id",
-                          n_salts=8)
-    return w.select("user_id",
-                    F.col("event_id").alias("last_event_id"),
-                    F.col("event_type").alias("last_event_type"),
-                    F.col("value").alias("last_value"))
+    return shape(plain, "plain").unionByName(shape(salted, "salted"))
 
 
 SQL_CDC_LWW = """
-SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
-       value AS last_value
+SELECT v.variant, user_id, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                    ORDER BY event_id DESC) AS rn FROM events)
+CROSS JOIN (VALUES ('plain'), ('salted')) v(variant)
 WHERE rn = 1
 """
 
@@ -816,39 +882,39 @@ FROM events GROUP BY user_id
 """
 
 
-def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_rollup_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE over (priority, status) in one oracle-gated result
+    (consolidated round 6 so every registry entry fits the driver's
+    50-query correctness window): both grouping-set families compute over
+    the same orders table and union with a ``grouping_mode`` marker, so
+    each keeps an independent value check."""
     o = _t(spark, sf_dir, "orders")
-    return (o.rollup("o_orderpriority", "o_orderstatus")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 _dec_sum("o_totalprice").alias("total"))
-            .select(F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-                    F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-                    "n", "total"))
+
+    def grouped(g, mode: str) -> DataFrame:
+        return (g.agg(F.count(F.lit(1)).alias("n"),
+                      _dec_sum("o_totalprice").alias("total"))
+                .select(F.lit(mode).alias("grouping_mode"),
+                        F.coalesce("o_orderpriority",
+                                   F.lit("ALL")).alias("priority"),
+                        F.coalesce("o_orderstatus",
+                                   F.lit("ALL")).alias("status"),
+                        "n", "total"))
+
+    return (grouped(o.rollup("o_orderpriority", "o_orderstatus"), "rollup")
+            .unionByName(
+                grouped(o.cube("o_orderpriority", "o_orderstatus"), "cube")))
 
 
-SQL_ROLLUP_ORDERS = """
-SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+SQL_ROLLUP_CUBE_ORDERS = """
+SELECT 'rollup' AS grouping_mode,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
        COALESCE(o_orderstatus, 'ALL') AS status,
        COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-"""
-
-
-def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (priority, status) — all four grouping sets, completing
-    the rollup/pivot family."""
-    o = _t(spark, sf_dir, "orders")
-    return (o.cube("o_orderpriority", "o_orderstatus")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 _dec_sum("o_totalprice").alias("total"))
-            .select(F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-                    F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-                    "n", "total"))
-
-
-SQL_CUBE_ORDERS = """
-SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+UNION ALL
+SELECT 'cube' AS grouping_mode,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
        COALESCE(o_orderstatus, 'ALL') AS status,
        COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -1592,11 +1658,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exercises the REAL Arrow mapInPandas plumbing (payload bytes cross
     into Python in bounded batches; n_bytes measured from the decoded
     buffer) — while the oracle regenerates the same metadata arithmetic
-    from range(n), since gen_media is a pure md5 function of media_id."""
+    from range(n), since gen_media is a pure md5 function of media_id.
+    Each row additionally carries its kind/codec ROLLUP aggregates
+    (``media_summary``, a metadata-only groupBy that never reads the
+    payload column — broadcast-joined back per row), folding the former
+    ``media_rollup`` entry's value check into this one (round-6 window
+    consolidation)."""
     from rockefeller_spark import multimodal as M
     media = M.gen_media(spark, n=200, seed=7)
-    return (M.extract_features(media)
-            .select("media_id", "kind", "n_bytes"))
+    feats = (M.extract_features(media)
+             .select("media_id", "kind", "n_bytes"))
+    summ = M.media_summary(media).withColumnRenamed("n", "kind_n")
+    return (feats.join(F.broadcast(summ.drop("codec")), "kind")
+            .select("media_id", "kind", "n_bytes", "kind_n",
+                    "avg_duration_ms", "max_width"))
 
 
 def _media_h_sql(k: int, seed: int = 7) -> str:
@@ -1606,12 +1681,25 @@ def _media_h_sql(k: int, seed: int = 7) -> str:
 
 
 SQL_MEDIA_FEATURES = f"""
-WITH r AS (SELECT range AS media_id FROM range(200))
-SELECT media_id,
-       CASE {_media_h_sql(0)} % 3 WHEN 0 THEN 'image'
-            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(({_media_h_sql(1)} % 8 + 1) * 1024 AS INTEGER) AS n_bytes
-FROM r
+WITH r AS (SELECT range AS media_id FROM range(200)),
+m AS (
+  SELECT media_id,
+         CASE {_media_h_sql(0)} % 3 WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(({_media_h_sql(1)} % 8 + 1) * 1024 AS INTEGER) AS n_bytes,
+         CAST({_media_h_sql(2)} % 8 * 160 + 320 AS INTEGER) AS width0,
+         CAST({_media_h_sql(4)} % 120000 + 500 AS INTEGER) AS duration0
+  FROM r),
+t AS (
+  SELECT media_id, kind, n_bytes,
+         CASE WHEN kind IN ('image', 'video') THEN width0 END AS width,
+         CASE WHEN kind <> 'image' THEN duration0 END AS duration_ms
+  FROM m)
+SELECT media_id, kind, n_bytes,
+       COUNT(*) OVER (PARTITION BY kind) AS kind_n,
+       ROUND(AVG(duration_ms) OVER (PARTITION BY kind), 6) AS avg_duration_ms,
+       MAX(width) OVER (PARTITION BY kind) AS max_width
+FROM t
 """
 
 
@@ -1651,32 +1739,9 @@ FROM f
 """
 
 
-def q_media_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rockefeller_spark import multimodal as M
-    return M.media_summary(M.gen_media(spark, n=500, seed=7))
-
-
-SQL_MEDIA_ROLLUP = f"""
-WITH r AS (SELECT range AS media_id FROM range(500)),
-m AS (
-  SELECT media_id,
-         CASE {_media_h_sql(0)} % 3 WHEN 0 THEN 'image'
-              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         CAST({_media_h_sql(2)} % 8 * 160 + 320 AS INTEGER) AS width0,
-         CAST({_media_h_sql(4)} % 120000 + 500 AS INTEGER) AS duration0
-  FROM r),
-t AS (
-  SELECT kind,
-         CASE kind WHEN 'image' THEN 'png'
-              WHEN 'audio' THEN 'pcm16' ELSE 'h264' END AS codec,
-         CASE WHEN kind IN ('image', 'video') THEN width0 END AS width,
-         CASE WHEN kind <> 'image' THEN duration0 END AS duration_ms
-  FROM m)
-SELECT kind, codec, COUNT(*) AS n,
-       ROUND(AVG(duration_ms), 6) AS avg_duration_ms,
-       MAX(width) AS max_width
-FROM t GROUP BY kind, codec
-"""
+# (media_summary's rollup is oracle-gated INSIDE q_media_features since
+# round 6 — kind-level aggregates joined back per row — so the registry
+# fits the driver's 50-query correctness window with no silent rotation.)
 
 
 # =========================================================================
@@ -1687,8 +1752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CDC core
     "cdc_apply_full": q_cdc_apply_full,
     "cdc_apply_mor": q_cdc_apply_mor,
-    "cdc_lww_latest": q_cdc_lww_latest,
-    "cdc_lww_salted": q_cdc_lww_salted,
+    "cdc_lww_latest": q_cdc_lww_latest,        # plain + salted variants
     "cdc_high_water_marks": q_cdc_high_water_marks,
     "cdc_unapplied_after_hwm": q_cdc_unapplied_after_hwm,
     "cdc_quarantine_split": q_cdc_quarantine_split,
@@ -1705,8 +1769,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalized_colnames": q_normalized_colnames,
     "scd_fanout": q_scd_fanout,
     "collect_event_types": q_collect_event_types,
-    "rollup_orders": q_rollup_orders,
-    "cube_orders": q_cube_orders,
+    "rollup_cube_orders": q_rollup_cube_orders,
     "pivot_event_counts": q_pivot_event_counts,
     "scalar_functions": q_scalar_functions,
     "union_dedup": q_union_dedup,
@@ -1718,6 +1781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_lsn_gaps": q_cdc_lsn_gaps,
     "cdc_table_stats": q_cdc_table_stats,
+    "cdc_time_pruned_read": q_cdc_time_pruned_read,
     "cdc_schema_widening": q_cdc_schema_widening,
     "cdc_column_rename": q_cdc_column_rename,
     "cdc_delete_where": q_cdc_delete_where,
@@ -1739,16 +1803,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_lsh_topk": q_emb_lsh_topk,
     "emb_near_dup": q_emb_near_dup,
     # multimodal (stubbed decode; plumbing real)
-    "media_features": q_media_features,
+    "media_features": q_media_features,       # features + kind rollup
     "media_frames": q_media_frames,
-    "media_rollup": q_media_rollup,
 }
 
 ORACLES: dict[str, str] = {
     "cdc_apply_full": SQL_CDC_APPLY_FULL,
     "cdc_apply_mor": SQL_CDC_APPLY_FULL,
     "cdc_lww_latest": SQL_CDC_LWW,
-    "cdc_lww_salted": SQL_CDC_LWW,
     "cdc_high_water_marks": SQL_CDC_HWM,
     "cdc_unapplied_after_hwm": SQL_CDC_UNAPPLIED,
     "cdc_quarantine_split": SQL_CDC_QUARANTINE,
@@ -1764,8 +1826,7 @@ ORACLES: dict[str, str] = {
     "normalized_colnames": SQL_NORMALIZED,
     "scd_fanout": SQL_SCD_FANOUT,
     "collect_event_types": SQL_COLLECT_TYPES,
-    "rollup_orders": SQL_ROLLUP_ORDERS,
-    "cube_orders": SQL_CUBE_ORDERS,
+    "rollup_cube_orders": SQL_ROLLUP_CUBE_ORDERS,
     "pivot_event_counts": SQL_PIVOT_COUNTS,
     "scalar_functions": SQL_SCALAR_FUNCTIONS,
     "union_dedup": SQL_UNION_DEDUP,
@@ -1776,6 +1837,7 @@ ORACLES: dict[str, str] = {
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_lsn_gaps": SQL_CDC_LSN_GAPS,
     "cdc_table_stats": SQL_CDC_TABLE_STATS,
+    "cdc_time_pruned_read": SQL_CDC_TIME_PRUNED_READ,
     "cdc_schema_widening": SQL_CDC_SCHEMA_WIDENING,
     "cdc_column_rename": SQL_CDC_COLUMN_RENAME,
     "cdc_delete_where": SQL_CDC_DELETE_WHERE,
@@ -1796,5 +1858,4 @@ ORACLES: dict[str, str] = {
     "emb_near_dup": SQL_EMB_NEAR_DUP,
     "media_features": SQL_MEDIA_FEATURES,
     "media_frames": SQL_MEDIA_FRAMES,
-    "media_rollup": SQL_MEDIA_ROLLUP,
 }

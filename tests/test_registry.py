@@ -16,9 +16,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 SPOT = ["cdc_lww_latest", "pricing_summary", "scd_fanout",
-        "collect_event_types", "rollup_orders", "pivot_event_counts",
+        "collect_event_types", "rollup_cube_orders", "pivot_event_counts",
         "scalar_functions", "union_dedup", "doc_exact_dedup",
-        "emb_cosine_topk"]
+        "emb_cosine_topk", "cdc_time_pruned_read"]
 
 
 def test_contract_shapes():
