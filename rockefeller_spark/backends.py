@@ -15,11 +15,12 @@ object store the same contract maps to a conditional PUT
 (``If-None-Match: *`` — supported by S3, GCS and Azure) for (1) and a
 catalog compare-and-swap (Iceberg's catalog pointer; a DynamoDB
 conditional update) for (2); ``FakeObjectStoreBackend`` emulates exactly
-those semantics — it REJECTS any blind overwrite at the API level, never
-uses rename for visibility, and implements the pointer as a locked
-read-compare-write (a catalog row update), so the commit/crash/race
-suites prove the ENGINE depends only on the portable contract, not on
-POSIX rename atomicity or overwrite behavior.
+those semantics — its API simply has no unconditional-overwrite
+operation (stronger than rejecting one), never uses rename for
+visibility, and implements the pointer as a locked read-compare-write
+(a catalog row update), so the commit/crash/race suites prove the
+ENGINE depends only on the portable contract, not on POSIX rename
+atomicity or overwrite behavior.
 
 (The maintenance mutex — primitive 3 of the lake.py protocol notes — maps
 to a TTL lease in a transactional store; it serializes only maintenance
@@ -31,12 +32,6 @@ from __future__ import annotations
 import fcntl
 import os
 import uuid
-
-
-class BlindOverwriteError(RuntimeError):
-    """The fake object store refused an unconditional overwrite of an
-    existing object — immutable metadata must only ever be written with
-    put-if-absent semantics."""
 
 
 class PosixBackend:

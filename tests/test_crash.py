@@ -1,11 +1,14 @@
 """Crash injection: a failure between data-file staging and the metadata
 commit must leave the table bit-identical (orphan files ignored), and the
-retried batch must succeed exactly-once."""
+retried batch must succeed exactly-once. Runs under BOTH commit-protocol
+backends (POSIX and the S3-semantics fake, ``commit_backend``)."""
 
 from __future__ import annotations
 
 import pandas as pd
 import pytest
+
+pytestmark = pytest.mark.usefixtures("commit_backend")
 
 from rockefeller_spark import gen
 from rockefeller_spark.lake import LakeTable

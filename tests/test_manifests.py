@@ -263,10 +263,14 @@ def test_rollback_is_metadata_only_and_locked(spark, table):
     os.remove(lock)
 
 
-def test_expire_and_rollback_interleave_safely(spark, table):
+def test_expire_and_rollback_interleave_safely(spark, tmp_path,
+                                               commit_backend):
     """The ADVICE race: rollback to an out-of-retention target racing an
     expire run. With the lock, whichever wins, the table never points at
-    deleted files."""
+    deleted files. Runs under both commit-protocol backends (the table is
+    created AFTER the backend swap, so the handle really uses it)."""
+    table = LakeTable.create(spark, str(tmp_path / "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
     ev = gen.gen_change_events(spark, n_events=300, n_convs=10, seed=16)
     pdf = ev.toPandas()
     for k in range(3):

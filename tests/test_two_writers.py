@@ -4,7 +4,9 @@ appliers at the same time. Conflicts must resolve through the
 rebase-then-recompute ladder (``merge.apply_batch``), every batch must
 commit exactly once, and the final state must equal the sequential
 oracle. The first batches are barrier-synchronized so at least one
-commit race is guaranteed, not merely likely."""
+commit race is guaranteed, not merely likely. Runs under BOTH
+commit-protocol backends (POSIX and the S3-semantics fake) — the
+guaranteed commit race exercises the conditional-PUT conflict path."""
 
 from __future__ import annotations
 
@@ -12,6 +14,9 @@ import os
 import threading
 
 import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("commit_backend")
 from pyspark.sql import functions as F
 
 from rockefeller_spark import gen
