@@ -162,20 +162,74 @@ def bench_trickle(spark, base_events: int = 10_000_000,
     return out
 
 
+def bench_stream(spark, n_events: int = 16_000_000, n_segments: int = 8,
+                 n_buckets: int = 256, repeats: int = 2) -> dict:
+    """End-to-end Structured Streaming leg — the north rule's actual
+    shape: ``readStream`` over a WAL directory → dead-letter split →
+    salted MOR apply → per-batch maintenance policy, driven by
+    ``availableNow`` (one checkpointed catch-up pass, exactly what a
+    cluster deployment's stream job runs between restarts).
+
+    The source parquet is written with ``n_segments × files_per_seg``
+    files and the drain paces itself with ``maxFilesPerTrigger``, so the
+    timed window covers ~``n_segments`` full foreachBatch cycles —
+    quarantine routing, the fused one-shuffle MOR append, the atomic
+    commit, the policy's metadata-only no-op evaluation, and checkpoint
+    I/O — not just the apply kernel the batch legs time."""
+    from rockefeller_spark.maintenance import CompactionPolicy
+    from rockefeller_spark.stream import drain
+
+    work = tempfile.mkdtemp(prefix="rk-stream-")
+    source = os.path.join(work, "wal")
+    files_per_seg = 6
+    ev = gen.gen_change_events(spark, n_events=n_events,
+                               n_convs=max(1000, n_events // 200),
+                               max_turns=50, seed=48,
+                               num_partitions=n_segments * files_per_seg)
+    ev.write.mode("overwrite").parquet(source)
+
+    policy = CompactionPolicy(orphan_sweep_every_s=1e9)
+    walls = []
+    stats = None
+    for r in range(max(repeats, 1)):
+        tdir = os.path.join(work, f"t-{r}")
+        ckpt = os.path.join(work, f"ckpt-{r}")
+        table = LakeTable.create(spark, tdir, STORED_TRANSCRIPT_SCHEMA,
+                                 n_buckets=n_buckets)
+        t0 = time.time()
+        drain(spark, source, table, ckpt, mode="mor",
+              max_files_per_trigger=files_per_seg, compaction=policy)
+        walls.append(round(time.time() - t0, 3))
+        stats = table.stats()
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    elapsed = min(walls)
+    shutil.rmtree(work, ignore_errors=True)
+    return {"stream_sec": elapsed, "stream_walls": walls,
+            "events_per_sec": round(n_events / elapsed, 1),
+            "n_events": n_events, "n_segments": n_segments,
+            "mode": "mor+maintenance", "final_rows": stats["rows"],
+            "snapshots": stats["snapshot_id"]}
+
+
 def bench_skew(spark, n_events: int = 20_000_000,
                n_buckets: int = 256, repeats: int = 3) -> dict:
-    """Adversarial key-skew leg: ONE conversation holds ~10% of all
-    events (far beyond the Zipf head), so its bucket receives 10% of the
-    shuffle. The apply path's defense is the salted (bucket, salt)
-    repartition — with salt=1 the hot bucket lands on ONE reducer/writer
-    task; with the default salt it spreads over `write_salt` tasks.
+    """Adversarial key-skew leg: ONE conversation holds ~30% of all
+    events (far beyond the Zipf head), so its bucket receives 30% of the
+    shuffle. The apply path's defense is the adaptively salted
+    (bucket, salt) repartition — with salt cap 1 the hot bucket lands on
+    ONE reducer/writer task; with the cap at 8 it spreads over up to 8.
 
     Best-of-``repeats`` per salt config against a FRESH table each run,
     salt configs INTERLEAVED (1,8,1,8,...) so a hypervisor noise window
     hits both configs equally rather than biasing one — the round-3
     single-sample version produced a 1.71x-faster vs 1.36x-slower
     contradiction between two runs of identical code. All walls are
-    reported; the speedup is computed on the minima."""
+    reported; the speedup is computed on the minima.
+
+    Also times the skew CENSUS alone on the same events (the touched-
+    bucket groupBy-count the CoW path needs anyway for read pruning) —
+    the adaptive mechanism's marginal cost when no skew exists."""
     from pyspark.sql import functions as F
     work = tempfile.mkdtemp(prefix="rk-skew-")
     events_path = os.path.join(work, "events")
@@ -184,11 +238,11 @@ def bench_skew(spark, n_events: int = 20_000_000,
                                max_turns=50, seed=44, num_partitions=32)
     ev = ev.withColumn(
         "conv_id",
-        F.when(F.pmod(F.col("lsn"), F.lit(10)) == 0, F.lit("c-hot"))
+        F.when(F.pmod(F.col("lsn"), F.lit(10)) < 3, F.lit("c-hot"))
          .otherwise(F.col("conv_id")))
     ev.write.mode("overwrite").parquet(events_path)
     log = spark.read.parquet(events_path)
-    out: dict = {"n_events": n_events, "hot_key_fraction": 0.1,
+    out: dict = {"n_events": n_events, "hot_key_fraction": 0.3,
                  "n_buckets": n_buckets, "repeats": repeats}
     walls: dict[int, list[float]] = {1: [], 8: []}
     for r in range(max(repeats, 1)):
@@ -205,6 +259,78 @@ def bench_skew(spark, n_events: int = 20_000_000,
         out[f"apply_salt{salt}_sec"] = min(walls[salt])
     out["salting_speedup"] = round(out["apply_salt1_sec"]
                                    / max(out["apply_salt8_sec"], 1e-9), 2)
+    # census-alone cost: one map-side-combined hash agg over the batch
+    # (<= n_buckets rows per task); CoW pays this REGARDLESS of salting
+    # (it is also the read-pruning index), so adaptivity is marginally
+    # free there; MOR rides it on the staging write as an Observation
+    from rockefeller_spark.lake import bucket_expr
+    census_walls = []
+    for _ in range(2):
+        t0 = time.time()
+        log.groupBy(bucket_expr("conv_id", n_buckets).alias("b")) \
+           .agg(F.count(F.lit(1)).alias("n")).collect()
+        census_walls.append(round(time.time() - t0, 3))
+    out["census_sec"] = min(census_walls)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def bench_skew_target(spark, base_hot_rows: int = 6_000_000,
+                      base_cold_rows: int = 6_000_000,
+                      trickle_events: int = 200_000,
+                      n_buckets: int = 64, repeats: int = 3) -> dict:
+    """TARGET-side skew: a small trickle batch lands in a bucket that
+    already holds a huge conversation. The CoW rewrite re-aggregates the
+    ENTIRE stored bucket, so batch-volume-only salting would leave one
+    straggling reducer chewing the historical rows — the census therefore
+    folds the TARGET's per-bucket stored row counts (from the same pruned
+    manifest listing the apply reuses as its remove set) into the salt
+    decision. Salt configs interleaved, base state restored between runs
+    by metadata-only rollback (same stored state every run)."""
+    from pyspark.sql import functions as F
+    work = tempfile.mkdtemp(prefix="rk-skewt-")
+    tdir = os.path.join(work, "t")
+    table = LakeTable.create(spark, tdir, STORED_TRANSCRIPT_SCHEMA,
+                             n_buckets=n_buckets)
+    # one conversation with base_hot_rows distinct turns (one hot bucket)
+    # + uniform background conversations everywhere else
+    hot = gen.gen_change_events(spark, n_events=base_hot_rows,
+                                n_convs=1, max_turns=base_hot_rows,
+                                seed=45, num_partitions=32) \
+             .withColumn("conv_id", F.lit("c-skew-hot"))
+    cold = gen.gen_change_events(spark, n_events=base_cold_rows,
+                                 n_convs=max(1000, base_cold_rows // 200),
+                                 max_turns=50, seed=46, num_partitions=32)
+    apply_batch(table, hot.unionByName(cold), collect_metrics=False)
+    v_base = table.current_version()
+
+    # trickle: updates to the hot conversation's existing turns
+    trickle = gen.gen_change_events(spark, n_events=trickle_events,
+                                    n_convs=1, max_turns=base_hot_rows,
+                                    seed=47, num_partitions=8) \
+                 .withColumn("conv_id", F.lit("c-skew-hot")) \
+                 .withColumn("lsn", F.col("lsn") + F.lit(base_hot_rows * 4))
+    trickle_path = os.path.join(work, "trickle")
+    trickle.write.mode("overwrite").parquet(trickle_path)
+    log = spark.read.parquet(trickle_path)
+
+    out: dict = {"base_hot_rows": base_hot_rows,
+                 "base_cold_rows": base_cold_rows,
+                 "trickle_events": trickle_events,
+                 "n_buckets": n_buckets, "repeats": repeats}
+    walls: dict[int, list[float]] = {1: [], 8: []}
+    for r in range(max(repeats, 1)):
+        for salt in (1, 8):
+            t0 = time.time()
+            apply_batch(table, log, collect_metrics=False, write_salt=salt)
+            walls[salt].append(round(time.time() - t0, 3))
+            table.rollback(v_base)
+    for salt in (1, 8):
+        out[f"trickle_salt{salt}_walls"] = walls[salt]
+        out[f"trickle_salt{salt}_sec"] = min(walls[salt])
+    out["target_skew_speedup"] = round(out["trickle_salt1_sec"]
+                                       / max(out["trickle_salt8_sec"], 1e-9),
+                                       2)
     shutil.rmtree(work, ignore_errors=True)
     return out
 
@@ -417,9 +543,18 @@ def main() -> None:
                                   n_buckets=n_buckets, repeats=repeats,
                                   mode="mor")
         trickle = bench_trickle(spark, n_buckets=n_buckets)
+    stream = None
+    if os.environ.get("BENCH_STREAM", "" if apply_only else "1") == "1":
+        # the scaling harness opts in explicitly (BENCH_STREAM=1 with
+        # BENCH_APPLY_ONLY=1) so the north rule's streaming shape carries
+        # scaling evidence too
+        stream = bench_stream(spark, n_events=max(n_events // 3, 1_000_000),
+                              n_buckets=n_buckets)
+    skew_target = None
     if os.environ.get("BENCH_SKEW", "1") == "1" and not apply_only:
         skew = bench_skew(spark, n_events=max(n_events // 2, 1_000_000),
                           n_buckets=n_buckets)
+        skew_target = bench_skew_target(spark)
     if os.environ.get("BENCH_READS", "1") == "1" and not apply_only:
         reads = bench_read_side(spark,
                                 base_events=max(n_events // 5, 500_000),
@@ -463,7 +598,9 @@ def main() -> None:
         "cdc": cdc,
         "cdc_mor": cdc_mor,
         "cdc_trickle": trickle,
+        "stream": stream,
         "skew": skew,
+        "skew_target": skew_target,
         "read_side": reads,
         "compact": compact,
         "feed_trickle": feed,
@@ -483,12 +620,18 @@ def main() -> None:
     if cdc_mor is not None:
         summary["mor_events_per_sec"] = cdc_mor["events_per_sec"]
         summary["mor_compact_resolve_sec"] = cdc_mor.get("compact_resolve_sec")
+    if stream is not None:
+        summary["stream_sec"] = stream["stream_sec"]
+        summary["stream_events_per_sec"] = stream["events_per_sec"]
     if trickle is not None:
         summary["trickle_mor_speedup"] = trickle["mor_speedup"]
         summary["cow_trickle_sec"] = trickle["cow_trickle_sec"]
         summary["mor_trickle_sec"] = trickle["mor_trickle_sec"]
     if skew is not None:
         summary["salting_speedup"] = skew["salting_speedup"]
+        summary["census_sec"] = skew["census_sec"]
+    if skew_target is not None:
+        summary["target_skew_speedup"] = skew_target["target_skew_speedup"]
     if reads is not None:
         summary["read_state_sec_16_deltas"] = reads["read_state_sec_16_deltas"]
         summary["lookup_sec_after_compact"] = reads["lookup_sec_after_compact"]

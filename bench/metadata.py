@@ -76,12 +76,7 @@ def main() -> None:
 
             # a real sharded table seeded with n files (seed commit cost is
             # excluded; it is the one-time backfill, not the steady state)
-            table = LakeTable.__new__(LakeTable)
-            table.spark = None
-            table.path = os.path.join(tmp, "t")
-            table.data_dir = os.path.join(table.path, "data")
-            table.meta_dir = os.path.join(table.path, "metadata")
-            table._manifest_cache = {}
+            table = LakeTable(None, os.path.join(tmp, "t"))
             os.makedirs(table.meta_dir)
             manifests = table._shard_all(files, N_BUCKETS)
             snap = Snapshot(0, None, STORED_TRANSCRIPT_SCHEMA, N_BUCKETS,
@@ -126,6 +121,22 @@ def main() -> None:
             cold_wall = time.perf_counter() - t0
             assert nfiles == n
 
+            # warm re-access through the same table handle (manifest cache)
+            t0 = time.perf_counter()
+            nfiles = len(table.snapshot(table.current_version()).files)
+            warm_wall = time.perf_counter() - t0
+            assert nfiles == n
+
+            # full-table PLANNING sweep, columnar (cold): what the scale
+            # consumers (read planning, orphan sweep, compaction sizing)
+            # actually pay — parse only, zero DataFile construction
+            table._manifest_cache = {}
+            snap = table.snapshot(table.current_version())
+            t0 = time.perf_counter()
+            npaths = sum(len(c["path"]) for c in snap.file_columns())
+            plan_wall = time.perf_counter() - t0
+            assert npaths == n
+
             list_bytes = os.path.getsize(table._meta_path(1))
             out[n] = {
                 "monolithic_commit_sec": (round(mono_wall, 4)
@@ -138,6 +149,8 @@ def main() -> None:
                 "n_shards": len(snap.manifests),
                 "manifest_list_bytes": list_bytes,
                 "sharded_cold_load_sec": round(cold_wall, 4),
+                "sharded_warm_load_sec": round(warm_wall, 4),
+                "planning_cols_cold_sec": round(plan_wall, 4),
                 "speedup": (round(mono_wall / sharded_wall, 1)
                             if mono_wall is not None else None),
             }
