@@ -141,6 +141,13 @@ class DataFile:
     # file's rows are clustered by (compaction's key sort), so readers
     # know row-group stats are selective without re-deriving it.
     sorted_by: list[str] | None = None
+    # key-column value bounds (Iceberg lower/upper bounds on the bucket
+    # column), stamped from parquet footer stats at stage time. After a
+    # key-sorted compaction splits a bucket into size-targeted files the
+    # ranges are disjoint, so a point lookup opens ONE file of the
+    # bucket, not all of them (consumed by read(key_range=)/lookup()).
+    min_key: str | None = None
+    max_key: str | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {"path": self.path, "bucket": self.bucket,
@@ -155,6 +162,9 @@ class DataFile:
             d["max_ts"] = self.max_ts
         if self.sorted_by is not None:
             d["sorted_by"] = self.sorted_by
+        if self.min_key is not None:
+            d["min_key"] = self.min_key
+            d["max_key"] = self.max_key
         return d
 
     @staticmethod
@@ -163,7 +173,8 @@ class DataFile:
                         d.get("min_lsn"), d.get("max_lsn"),
                         d.get("buckets"), d.get("schema_v"),
                         d.get("min_ts"), d.get("max_ts"),
-                        d.get("sorted_by"))
+                        d.get("sorted_by"),
+                        d.get("min_key"), d.get("max_key"))
 
 
 # columnar manifest layout (format_version 2): one list per DataFile field,
@@ -171,7 +182,8 @@ class DataFile:
 # array-of-objects (no per-file dict), and scale consumers can use the raw
 # columns WITHOUT constructing DataFile objects at all (_cols_* helpers).
 _COL_FIELDS = ("path", "bucket", "rows", "min_lsn", "max_lsn",
-               "buckets", "schema_v", "min_ts", "max_ts", "sorted_by")
+               "buckets", "schema_v", "min_ts", "max_ts", "sorted_by",
+               "min_key", "max_key")
 
 
 def _files_to_cols(files: list[DataFile]) -> dict[str, list]:
@@ -207,8 +219,14 @@ def _decode_cols(d: dict[str, Any]) -> dict[str, list]:
     n = d.get("n")
     if n is None:
         n = next((len(v) for v in cols.values() if isinstance(v, list)), 0)
-    return {k: ([v["="]] * n if isinstance(v, dict) else v)
-            for k, v in cols.items()}
+    out = {k: ([v["="]] * n if isinstance(v, dict) else v)
+           for k, v in cols.items()}
+    # shards written before a stats column existed (e.g. min_key/max_key)
+    # read as all-None for it — additive field evolution, no rewrite
+    for k in _COL_FIELDS:
+        if k not in out:
+            out[k] = [None] * n
+    return out
 
 
 def _cols_to_files(cols: dict[str, list]) -> list[DataFile]:
@@ -1003,7 +1021,8 @@ class LakeTable:
                      write_salt: int = 0, pre_bucketed: bool = False,
                      span_buckets: bool = False,
                      sort_cols: list[str] | None = None,
-                     salt_counts: dict[int, int] | None = None) -> list[DataFile]:
+                     salt_counts: dict[int, int] | None = None,
+                     target_rows_per_file: int | None = None) -> list[DataFile]:
         """Write ``df`` as Parquet under data/ and return the new DataFile
         entries (stats from Parquet footers, as Iceberg collects them at
         commit).
@@ -1036,6 +1055,30 @@ class LakeTable:
         else:
             if pre_bucketed:
                 out = df
+            elif salt_counts is not None and sort_cols:
+                # size-targeted + key-clustered layout (Iceberg sort-order
+                # compaction): a RANGE exchange on (_bucket, sort keys)
+                # instead of the hash fan-out below, so the files a big
+                # bucket splits into carry DISJOINT key ranges — the
+                # min_key/max_key file bounds become selective and a point
+                # lookup opens one file of the bucket, not all of them.
+                # The deterministic all-column hash tie-breaker lets ONE
+                # giant conversation still split across tasks (a range
+                # boundary can land mid-key); maxRecordsPerFile below
+                # bounds file sizes within each task. Costs one extra
+                # sampling pass over the input (RangePartitioner) — a
+                # maintenance-path trade, not on the apply hot path.
+                vary = F.xxhash64(*[F.col(c) for c in df.columns
+                                    if c not in ("_bucket", "_salt")])
+                n_parts = max(sum(salt_counts.values()),
+                              self.spark.sparkContext.defaultParallelism)
+                out = (df.withColumn("_bucket",
+                                     bucket_expr(bucket_col, n_buckets))
+                       .withColumn("_tiebreak", vary)
+                       .repartitionByRange(
+                           n_parts, F.col("_bucket"),
+                           *[F.col(c) for c in sort_cols], F.col("_tiebreak"))
+                       .drop("_tiebreak"))
             elif salt_counts is not None:
                 # size-targeted layout: bucket b splits over salt_counts[b]
                 # writer tasks (a tiny broadcast bucket→k map — per-bucket
@@ -1082,7 +1125,14 @@ class LakeTable:
                 # lookup's pushed equality filter skips row groups inside
                 # the bucket's files, not just files
                 out = out.sortWithinPartitions("_bucket", *sort_cols)
-            out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+            writer = out.write.mode("overwrite")
+            if target_rows_per_file is not None:
+                # split a task's sorted run into bounded SEQUENTIAL files —
+                # together with the range exchange above this keeps the
+                # per-file key ranges disjoint at any bucket size
+                writer = writer.option("maxRecordsPerFile",
+                                       str(target_rows_per_file))
+            writer.partitionBy("_bucket").parquet(stage)
             for dirname in sorted(os.listdir(stage)):
                 if not dirname.startswith("_bucket="):
                     continue
@@ -1134,10 +1184,19 @@ class LakeTable:
             # pruning — Iceberg's per-column lower/upper bounds, limited
             # to the column the change feed's timestamp reads filter on
             tlo, thi = _col_minmax(meta, names, "ts")
+            # key-column value bounds for within-bucket file pruning
+            # (parquet string stats may surface as bytes)
+            klo, khi = _col_minmax(meta, names, bucket_col)
+            if isinstance(klo, bytes):
+                klo = klo.decode("utf-8", "replace")
+            if isinstance(khi, bytes):
+                khi = khi.decode("utf-8", "replace")
             return DataFile(os.path.join("data", os.path.basename(dst)),
                             bucket, meta.num_rows, min_lsn, max_lsn,
                             min_ts=_micros(tlo), max_ts=_micros(thi),
-                            sorted_by=list(sort_cols) if sort_cols else None)
+                            sorted_by=list(sort_cols) if sort_cols else None,
+                            min_key=(klo if isinstance(klo, str) else None),
+                            max_key=(khi if isinstance(khi, str) else None))
 
         # footer stats are tiny independent I/O reads; done serially they
         # dominate small-batch commits (≤n_buckets files × ~20 ms each),
@@ -1298,7 +1357,9 @@ class LakeTable:
     def read(self, snapshot_id: int | None = None,
              buckets: set[int] | None = None, *,
              as_of: "int | float | datetime | None" = None,
-             ts_range: "tuple | None" = None) -> DataFrame:
+             ts_range: "tuple | None" = None,
+             key_range: "tuple[str | None, str | None] | None" = None) \
+            -> DataFrame:
         """Snapshot-pinned read. Old files lacking newer (evolved) columns
         are null-filled because the read uses the snapshot's full schema.
         ``buckets`` prunes to the named key buckets via file stats — no
@@ -1321,7 +1382,16 @@ class LakeTable:
         flat in table size once compaction has clustered history. Files
         without ts stats are conservatively kept; the row-level filter
         keeps the result exact either way (rows with NULL ts never
-        qualify)."""
+        qualify).
+
+        ``key_range=(lo, hi)`` is the same file-bounds pruning on the
+        KEY column's per-file ``min_key``/``max_key`` stats (either side
+        None for open-ended, closed range). After a key-sorted compaction
+        splits a bucket into size-targeted files their key ranges are
+        disjoint, so a point lookup (``key_range=(k, k)``, what
+        :meth:`lookup` passes) opens ONE file of the bucket instead of
+        all of them. Files without key stats are conservatively kept and
+        the row-level filter keeps the result exact."""
         if as_of is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or as_of, not both")
@@ -1343,6 +1413,16 @@ class LakeTable:
                 return False
             return True
 
+        key_lo, key_hi = key_range if key_range is not None else (None, None)
+
+        def key_keep(kmin: str | None, kmax: str | None) -> bool:
+            # same overlap test on the key column's string bounds
+            if key_hi is not None and kmin is not None and kmin > key_hi:
+                return False
+            if key_lo is not None and kmax is not None and kmax < key_lo:
+                return False
+            return True
+
         # plan from COLUMNS, not DataFile objects: a full-table read at
         # 10^7 files needs only (path, schema_v[, era], ts bounds) —
         # object construction would triple the driver-side planning cost
@@ -1351,14 +1431,17 @@ class LakeTable:
         if buckets is None:
             era_cache: dict[int | None, int] = {}
             for cols in snap.file_columns():
-                if not snap.name_log and ts_range is None:
+                if not snap.name_log and ts_range is None \
+                        and key_range is None:
                     # single era, no pruning: skip per-file work entirely
                     by_era.setdefault(0, []).extend(
                         os.path.join(self.path, p) for p in cols["path"])
                     continue
-                for p, sv, fmin, fmax in zip(cols["path"], cols["schema_v"],
-                                             cols["min_ts"], cols["max_ts"]):
-                    if not ts_keep(fmin, fmax):
+                for p, sv, fmin, fmax, kmin, kmax in zip(
+                        cols["path"], cols["schema_v"],
+                        cols["min_ts"], cols["max_ts"],
+                        cols["min_key"], cols["max_key"]):
+                    if not ts_keep(fmin, fmax) or not key_keep(kmin, kmax):
                         continue
                     era = era_cache.get(sv)
                     if era is None:
@@ -1369,7 +1452,8 @@ class LakeTable:
                     era_sv.setdefault(era, sv)
         else:
             for f in snap.files_for(buckets):
-                if not ts_keep(f.min_ts, f.max_ts):
+                if not ts_keep(f.min_ts, f.max_ts) \
+                        or not key_keep(f.min_key, f.max_key):
                     continue
                 era = snap.file_era(f.schema_v)
                 by_era.setdefault(era, []).append(
@@ -1382,6 +1466,10 @@ class LakeTable:
                 df = df.filter(F.col("ts") >= F.timestamp_micros(F.lit(ts_lo)))
             if ts_hi is not None:
                 df = df.filter(F.col("ts") <= F.timestamp_micros(F.lit(ts_hi)))
+            if key_lo is not None:
+                df = df.filter(F.col(snap.bucket_col) >= F.lit(key_lo))
+            if key_hi is not None:
+                df = df.filter(F.col(snap.bucket_col) <= F.lit(key_hi))
             return df
 
         if not by_era:
@@ -1452,10 +1540,14 @@ class LakeTable:
 
         ``target_rows_per_file`` bounds output FILE sizes (Iceberg's
         ``write.target-file-size`` analog): per-bucket row counts come
-        from snapshot METADATA (no extra job), each bucket fans out over
-        ``ceil(rows/target)`` writer tasks via a tiny broadcast map — so
-        at 10^10 rows a hot bucket compacts to many bounded files instead
-        of one multi-GB one, while small buckets stay single-file.
+        from snapshot METADATA (no extra job) and size the fan-out so a
+        hot bucket compacts to many bounded files instead of one multi-GB
+        one, while small buckets stay single-file. With ``sort_by_key``
+        (the default) the fan-out is a RANGE exchange on (bucket, key), so
+        the files a bucket splits into carry DISJOINT ``min_key/max_key``
+        ranges — a point lookup then opens one file of the bucket
+        (``read(key_range=...)``); with ``sort_by_key=False`` it falls
+        back to a hash fan-out (parallel, but overlapping ranges).
 
         Time travel to pre-compaction snapshots still works (old files
         stay referenced by old metadata) until ``expire_snapshots``
@@ -1500,7 +1592,8 @@ class LakeTable:
         adds = self._stage_write(
             df, snap.n_buckets, snap.bucket_col, write_salt,
             sort_cols=[snap.bucket_col] if sort_by_key else None,
-            salt_counts=salt_counts)
+            salt_counts=salt_counts,
+            target_rows_per_file=target_rows_per_file)
         if buckets is None:
             remove = {p for cols in snap.file_columns()
                       for p in cols["path"]}
@@ -1675,10 +1768,14 @@ class LakeTable:
         lookup touches 1/n_buckets of the table, not a full scan, and
         issues exactly ONE Spark job (the pruned read). The residual
         filter also reaches the parquet scan (PushedFilters), pruning row
-        groups inside the bucket's files."""
+        groups inside the bucket's files. Within the bucket, per-file
+        ``min_key``/``max_key`` bounds prune FILES first: after a
+        key-sorted compaction split the bucket into size-targeted files,
+        the lookup opens one file, not the whole bucket."""
         snap = self.current()
         b = key_bucket(key_value, snap.n_buckets)
-        return self.read(buckets={b}).filter(F.col(snap.bucket_col) == key_value)
+        return (self.read(buckets={b}, key_range=(key_value, key_value))
+                .filter(F.col(snap.bucket_col) == key_value))
 
     def expire_snapshots(self, keep_last: int = 2, *,
                          clean_orphans: bool = True,

@@ -411,3 +411,45 @@ def test_compact_target_file_size_bounds_files(spark, table):
     assert len(table.current().files) <= table.current().n_buckets
     from rockefeller_spark.oracle import replay
     assert read_state(table).count() == len(replay(ev.toPandas()))
+
+
+def test_key_bound_file_pruning_after_sorted_compact(spark, table):
+    """Per-file key bounds (Iceberg lower/upper bounds on the bucket
+    column): a key-sorted size-targeted compaction RANGE-splits each
+    bucket, so the files it produces carry disjoint-or-touching
+    ``min_key``/``max_key`` ranges, and a point lookup opens only the
+    file(s) whose range covers the key — not the whole bucket."""
+    ev = gen.gen_change_events(spark, n_events=6000, n_convs=30,
+                               max_turns=50, seed=263)
+    apply_batch(table, ev)
+    table.compact(target_rows_per_file=150)
+    snap = table.current()
+    from collections import defaultdict
+    per_bucket = defaultdict(list)
+    for f in snap.files:
+        assert f.min_key is not None and f.min_key <= f.max_key
+        per_bucket[f.bucket].append(f)
+    split_buckets = {b: fs for b, fs in per_bucket.items() if len(fs) > 1}
+    assert split_buckets, "fixture must split at least one bucket"
+    for fs in split_buckets.values():
+        fs = sorted(fs, key=lambda f: f.min_key)
+        for a, b in zip(fs, fs[1:]):
+            # ranges disjoint or touching at ONE key (a range boundary
+            # may land mid-conversation via the hash tie-breaker)
+            assert a.max_key <= b.min_key
+    # pick a key from a split bucket and verify the lookup plan
+    bucket, fs = next(iter(split_buckets.items()))
+    key = min(f.min_key for f in fs)  # covered by >=1, outside >=1 file
+    covering = [f for f in fs if f.min_key <= key <= f.max_key]
+    assert len(covering) < len(fs)
+    opened = {os.path.basename(p) for p in table.lookup(key).inputFiles()}
+    bucket_files = {os.path.basename(f.path) for f in fs}
+    assert opened & bucket_files  # the lookup did read this bucket
+    assert len(opened & bucket_files) <= len(covering)
+    for f in fs:
+        if os.path.basename(f.path) in opened:
+            assert f.min_key <= key <= f.max_key
+    # pruning never changes the answer
+    got = table.lookup(key).toPandas()
+    want = (table.read().filter(F.col("conv_id") == key).toPandas())
+    assert sorted(got.turn_idx) == sorted(want.turn_idx) and len(got) > 0
