@@ -494,6 +494,23 @@ def bench_read_side(spark, base_events: int = 10_000_000,
     table.compact()
     out["compact_sec"] = round(time.time() - t0, 3)
     measure("after_compact", out)
+    # key-bound file pruning: a size-targeted key-sorted compaction
+    # RANGE-splits each bucket into files with disjoint min_key/max_key
+    # ranges, so the point lookup opens ~1 file of its bucket instead of
+    # all of them (the 10^10-row shape where a bucket holds many files)
+    t0 = time.time()
+    table.compact(target_rows_per_file=max(
+        base_events // n_buckets // 8, 10_000))
+    out["compact_sized_sec"] = round(time.time() - t0, 3)
+    snap = table.current()
+    from rockefeller_spark.lake import key_bucket
+    b = key_bucket("c00000123", snap.n_buckets)
+    out["lookup_bucket_files"] = sum(
+        1 for f in snap.files_for({b}) if f.bucket == b)
+    out["lookup_files_opened"] = len(table.lookup("c00000123").inputFiles())
+    t0 = time.time()
+    table.lookup("c00000123").count()
+    out["lookup_sec_keypruned"] = round(time.time() - t0, 3)
     shutil.rmtree(work, ignore_errors=True)
     return out
 
@@ -635,6 +652,8 @@ def main() -> None:
     if reads is not None:
         summary["read_state_sec_16_deltas"] = reads["read_state_sec_16_deltas"]
         summary["lookup_sec_after_compact"] = reads["lookup_sec_after_compact"]
+        summary["lookup_files_opened"] = reads["lookup_files_opened"]
+        summary["lookup_bucket_files"] = reads["lookup_bucket_files"]
     if compact is not None:
         summary["compact_sort_overhead_x"] = compact["sort_overhead_x"]
         summary["compact_sorted_sec"] = compact["compact_sorted_sec"]
