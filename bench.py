@@ -582,7 +582,9 @@ def main() -> None:
         # the scaling harness opts in explicitly (BENCH_STREAM=1 with
         # BENCH_APPLY_ONLY=1) so the north rule's streaming shape carries
         # scaling evidence too
-        stream = bench_stream(spark, n_events=max(n_events // 2, 1_000_000),
+        stream_events = int(os.environ.get("BENCH_STREAM_EVENTS",
+                                           max(n_events // 2, 1_000_000)))
+        stream = bench_stream(spark, n_events=stream_events,
                               n_buckets=n_buckets)
     skew_target = None
     if os.environ.get("BENCH_SKEW", "1") == "1" and not apply_only:

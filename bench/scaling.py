@@ -53,32 +53,34 @@ def calibrate(levels: list[int], rounds: int = 3) -> dict[int, float]:
     return out
 
 
-def run_at(cpus: int, events: int, batches: int, repeats: int = 3) -> dict:
-    """Best-of-N: this sandbox is a shared virtualized host with large
-    run-to-run interference (system-time bursts with the CPUs idle); the
-    minimum wall time is the least-interfered measurement of the code."""
-    runs: list[dict] = []
-    for _ in range(repeats):
-        env = dict(os.environ,
-                   SPARK_GRAFT_CPUS=str(cpus),
-                   BENCH_EVENTS=str(events),
-                   BENCH_BATCHES=str(batches),
-                   BENCH_REPEATS=os.environ.get("BENCH_REPEATS_INNER", "6"),
-                   BENCH_APPLY_ONLY="1",
-                   # the streaming end-to-end leg (availableNow drain, MOR
-                   # + maintenance policy) rides along so the north rule's
-                   # actual shape carries scaling evidence too
-                   BENCH_STREAM="1",
-                   BENCH_DETAIL_FILE=os.path.join(
-                       REPO, "BENCH", f"scaling_detail_{cpus}c.json"),
-                   PYTHONPATH=REPO)
-        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                             env=env, capture_output=True, text=True, check=True)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        r = json.loads(line)
-        runs.append(r)
-    # best-of per LEG, independently: the least-interfered batch run and
-    # stream run need not come from the same process
+def run_once(cpus: int, events: int, batches: int) -> dict:
+    """One fresh-process bench run at ``cpus`` cores."""
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cpus),
+               BENCH_EVENTS=str(events),
+               BENCH_BATCHES=str(batches),
+               BENCH_REPEATS=os.environ.get("BENCH_REPEATS_INNER", "6"),
+               BENCH_APPLY_ONLY="1",
+               # the streaming end-to-end leg (availableNow drain, MOR
+               # + maintenance policy) rides along so the north rule's
+               # actual shape carries scaling evidence too — at the FULL
+               # event count: micro-batch fixed costs (driver planning,
+               # checkpoint I/O) don't shrink with cores, so small
+               # batches understate scaling
+               BENCH_STREAM="1",
+               BENCH_STREAM_EVENTS=str(events),
+               BENCH_DETAIL_FILE=os.path.join(
+                   REPO, "BENCH", f"scaling_detail_{cpus}c.json"),
+               PYTHONPATH=REPO)
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def best_of(runs: list[dict]) -> dict:
+    """Best-of per LEG, independently: the least-interfered batch run and
+    stream run need not come from the same process."""
     best = dict(min(runs, key=lambda r: r["summary"]["apply_sec"]))
     best["summary"] = dict(best["summary"])
     streamed = [r for r in runs if "stream_sec" in r["summary"]]
@@ -110,9 +112,17 @@ def main() -> None:
     # effective cores at n threads = n * t(base)/t(n)
     eff_cores = {n: round(n * cal[base_level] / cal[n], 1) for n in levels}
 
-    results = {}
-    for n in levels:
-        results[n] = run_at(n, args.events, args.batches, args.repeats)
+    # INTERLEAVE levels by repeat (2,8,32, 2,8,32, ...): the hypervisor
+    # drifts on ~10-minute scales, so running all repeats of one level
+    # consecutively lets a drift window hit ONE side of the N→4N ratio —
+    # the round-6 bisect measured same-code walls spreading >25% purely by
+    # WHEN they ran. Interleaving samples every level across the same
+    # windows; best-of per level then rejects the noise symmetrically.
+    runs: dict[int, list[dict]] = {n: [] for n in levels}
+    for _ in range(args.repeats):
+        for n in levels:
+            runs[n].append(run_once(n, args.events, args.batches))
+    results = {n: best_of(rs) for n, rs in runs.items()}
 
     lines = [
         "# BENCH — N vs 4N scaling evidence",
