@@ -134,3 +134,36 @@ def test_streaming_mor_drain_equals_oracle(spark, table, tmp_path):
           max_files_per_trigger=2)
     assert table.current().multi_version
     _check(table, ev.toPandas())
+
+
+def test_mor_delta_files_carry_key_bounds_and_prune_lookups(spark, table):
+    """Bucket-spanning MOR delta files get min_key/max_key stamped too
+    (the span-buckets stage path reads the same footer stats), so a
+    point lookup prunes pending DELTAS whose key range excludes the key
+    — on top of the touched-bucket-set pruning they already carry."""
+    base = gen.gen_change_events(spark, n_events=2000, n_convs=20, seed=311)
+    apply_batch(table, base)
+    # two deltas over DISJOINT key populations: conv ids starting "a..."
+    # vs "z..." sort far apart, so their key ranges cannot overlap
+    mk = lambda prefix, seed, shift: (
+        gen.gen_change_events(spark, n_events=300, n_convs=5, seed=seed)
+        .withColumn("conv_id", F.concat(F.lit(prefix), F.col("conv_id")))
+        .withColumn("lsn", F.col("lsn") + F.lit(shift)))
+    apply_batch(table, mk("aaa-", 312, 10_000_000), mode="mor")
+    apply_batch(table, mk("zzz-", 313, 20_000_000), mode="mor")
+    snap = table.current()
+    deltas = [f for f in snap.files if f.bucket is None]
+    assert deltas, "fixture must leave pending deltas"
+    for f in deltas:
+        assert f.min_key is not None and f.max_key is not None
+    a_key = next(f.min_key for f in deltas if f.min_key.startswith("aaa-"))
+    opened = {p.split("/")[-1] for p in table.lookup(a_key).inputFiles()}
+    for f in deltas:
+        name = f.path.split("/")[-1]
+        if f.min_key.startswith("zzz-"):
+            assert name not in opened, \
+                "lookup opened a delta whose key range excludes the key"
+    # and the answer matches the unpruned read
+    got = table.lookup(a_key).count()
+    want = read_state(table).filter(F.col("conv_id") == a_key).count()
+    assert got >= want > 0
