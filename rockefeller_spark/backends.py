@@ -47,12 +47,39 @@ class PosixBackend:
     # -- primitive 1: conditional create of an immutable object ----------
     def put_if_absent(self, rel: str, data: bytes) -> None:
         """Create-or-raise: ``FileExistsError`` when the object already
-        exists (the caller translates to its conflict type)."""
-        fd = os.open(self._abs(rel), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(data)
-            fh.flush()
-            os.fsync(fh.fileno())
+        exists (the caller translates to its conflict type).
+
+        All-or-nothing content: the bytes are written and fsynced at a
+        temp name first, then published via ``os.link`` — an atomic
+        create-or-EEXIST that can never expose a partially written
+        object. (A direct ``O_EXCL`` create-then-write would, on a crash
+        mid-write, leave a truncated ``v{N}.json`` that permanently wins
+        the version race: the pointer never advances to it and every
+        retry of that version hits the conflict — a wedged table.)"""
+        final = self._abs(rel)
+        tmp = f"{final}.put.{uuid.uuid4().hex}"
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(data)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.link(tmp, final)            # atomic publish or FileExistsError
+        finally:
+            os.unlink(tmp)
+        self._fsync_dir(os.path.dirname(final))
+
+    @staticmethod
+    def _fsync_dir(path: str) -> None:
+        """Durably record a directory entry (link/rename publish)."""
+        try:
+            dfd = os.open(path, os.O_RDONLY)
+        except OSError:                    # pragma: no cover - exotic fs
+            return
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     # -- primitive 2: the readers' current-version pointer ----------------
     def read_pointer(self, rel: str) -> int:
@@ -60,17 +87,26 @@ class PosixBackend:
             return int(fh.read().strip())
 
     def advance_pointer(self, rel: str, version: int) -> None:
-        """Publish ``version`` as the current pointer. POSIX form: write-
-        temp + atomic rename. The blind swap is safe under the commit
-        protocol's ordering invariant: a writer of v(N+1) only exists
-        after the pointer already published vN (it read vN through this
-        pointer), so a later rename can never carry an older version."""
+        """Publish ``version`` as the current pointer — MONOTONIC, like
+        the object-store catalog CAS: a publish carrying a version ≤ the
+        current pointer is a no-op, so a replayed/delayed publish (or
+        future restore tooling) cannot regress readers on one backend
+        while being a no-op on the other. Under the commit protocol's
+        ordering invariant the guard never fires (a writer of v(N+1) only
+        exists after the pointer published vN), so the read-before-rename
+        is pure insurance, not a hot-path cost."""
+        try:
+            if version <= self.read_pointer(rel):
+                return
+        except (FileNotFoundError, ValueError):
+            pass                           # no pointer yet / unreadable
         tmp = self._abs(f"{rel}.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             fh.write(str(version))
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, self._abs(rel))
+        self._fsync_dir(os.path.dirname(self._abs(rel)))
 
     # -- blob management ---------------------------------------------------
     def read(self, rel: str) -> bytes:
@@ -120,10 +156,18 @@ class FakeObjectStoreBackend:
             path = self._abs(rel)
             if os.path.exists(path):
                 raise FileExistsError(rel)      # HTTP 412 PreconditionFailed
-            with open(path, "wb") as fh:        # no O_EXCL, no rename: the
-                fh.write(data)                  # LOCK models the store's
-                fh.flush()                      # server-side atomicity
+            # an S3-class PUT is all-or-nothing server-side; model that
+            # with temp-write + link so a crashed client can't leave a
+            # truncated object visible (which no real store ever would)
+            tmp = f"{path}.put.{uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+                fh.flush()
                 os.fsync(fh.fileno())
+            try:
+                os.link(tmp, path)
+            finally:
+                os.unlink(tmp)
 
     def read_pointer(self, rel: str) -> int:
         with self._lock(self):

@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import bisect
 import json
+import logging
 import os
 import re
 import shutil
@@ -91,6 +92,9 @@ except ImportError:              # pragma: no cover - env without orjson
 
 def _json_loads(raw: bytes) -> Any:
     return _fastjson.loads(raw) if _fastjson is not None else json.loads(raw)
+
+
+logger = logging.getLogger(__name__)
 
 HINT_FILE = "version-hint.text"
 MAINT_LOCK = ".maint.lock"
@@ -148,6 +152,15 @@ class DataFile:
     # bucket, not all of them (consumed by read(key_range=)/lookup()).
     min_key: str | None = None
     max_key: str | None = None
+    # generalized per-column data skipping (Iceberg lower/upper bounds +
+    # null counts for EVERY leaf column, not just ts/key): column name →
+    # ``[lo, hi, null_count]``, stamped from parquet footer stats at stage
+    # time. Timestamps stored as epoch micros; string bounds truncated to
+    # ``LakeTable.stats_truncate_chars`` with an upper-bound-safe bump
+    # (Iceberg's truncate transform). Columns with dedicated fields
+    # (``_lsn``, ``ts``, the bucket key) are excluded — their bounds live
+    # above. None = stamped before this field existed (kept conservative).
+    stats: dict[str, list] | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {"path": self.path, "bucket": self.bucket,
@@ -219,8 +232,19 @@ def _decode_cols(d: dict[str, Any]) -> dict[str, list]:
     n = d.get("n")
     if n is None:
         n = next((len(v) for v in cols.values() if isinstance(v, list)), 0)
-    out = {k: ([v["="]] * n if isinstance(v, dict) else v)
-           for k, v in cols.items()}
+
+    def _expand(v):
+        if not isinstance(v, dict):
+            return v
+        c = v["="]
+        if isinstance(c, list):
+            # list-valued columns (buckets, sorted_by) get a COPY per row:
+            # a shared ref would let one file's in-place mutation silently
+            # corrupt every file decoded from the shard
+            return [list(c) for _ in range(n)]
+        return [c] * n     # scalars are immutable — the shared ref is free
+
+    out = {k: _expand(v) for k, v in cols.items()}
     # shards written before a stats column existed (e.g. min_key/max_key)
     # read as all-None for it — additive field evolution, no rewrite
     for k in _COL_FIELDS:
@@ -554,6 +578,32 @@ def bucket_expr(col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
 
 
+@contextmanager
+def _stats_friendly_writes(spark: SparkSession):
+    """Pin the parquet confs the file-bounds stamping depends on, for the
+    duration of one staging write, restoring the caller's values after.
+
+    The engine's own sessions pin these globally (``session.py``), but the
+    lake must stamp correct footer bounds under ANY session: a vanilla
+    SparkSession writes timestamps as INT96
+    (``spark.sql.parquet.outputTimestampType`` default), and INT96 parquet
+    columns carry NO min/max statistics — so ``min_ts``/``max_ts`` would
+    silently stamp None and time-range file pruning would degrade to a
+    no-op (round-6 driver-gate failure). These are runtime SQL confs, read
+    at write execution, so a scoped set/restore is sufficient."""
+    conf = spark.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = conf.get(key)
+    if prev == "TIMESTAMP_MICROS":
+        yield            # already pinned (engine session): zero conf churn
+        return
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        conf.set(key, prev)
+
+
 _XXP1 = 0x9E3779B185EBCA87
 _XXP2 = 0xC2B2AE3D27D4EB4F
 _XXP3 = 0x165667B19E3779F9
@@ -747,11 +797,24 @@ class LakeTable:
             for r in missing:
                 self._load_manifest(r)
             return
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            for rel, blob in zip(missing, pool.map(self.backend.read,
-                                                   missing)):
+        # WINDOWED in-flight futures (same pattern as _iter_manifest_cols):
+        # an unbounded pool.map would buffer every raw blob ahead of the
+        # serial GIL-bound parse loop — O(total manifest bytes) peak driver
+        # memory at the 10^7-file scale this code targets
+        pool = ThreadPoolExecutor(max_workers=16)
+        try:
+            window: dict[str, Any] = {}
+            submitted = 0
+            for rel in missing:
+                while submitted < len(missing) and len(window) < 64:
+                    nxt = missing[submitted]
+                    window[nxt] = pool.submit(self.backend.read, nxt)
+                    submitted += 1
+                blob = window.pop(rel).result()
                 self._manifest_cache[rel] = self._decode_manifest_files(
                     _json_loads(blob))
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
     def _load_manifest_cols(self, rel_path: str) -> dict[str, list]:
         """Columnar view of one manifest shard — parse WITHOUT building a
@@ -1044,7 +1107,8 @@ class LakeTable:
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         moves: list[tuple[int | None, str]] = []   # (bucket, dst path)
         if span_buckets:
-            df.write.mode("overwrite").parquet(stage)
+            with _stats_friendly_writes(self.spark):
+                df.write.mode("overwrite").parquet(stage)
             for fname in sorted(os.listdir(stage)):
                 if not fname.endswith(".parquet"):
                     continue
@@ -1132,7 +1196,8 @@ class LakeTable:
                 # per-file key ranges disjoint at any bucket size
                 writer = writer.option("maxRecordsPerFile",
                                        str(target_rows_per_file))
-            writer.partitionBy("_bucket").parquet(stage)
+            with _stats_friendly_writes(self.spark):
+                writer.partitionBy("_bucket").parquet(stage)
             for dirname in sorted(os.listdir(stage)):
                 if not dirname.startswith("_bucket="):
                     continue
@@ -1172,6 +1237,8 @@ class LakeTable:
                 return int(v.timestamp() * 1_000_000)
             return int(v)
 
+        warned_empty_stats: set[str] = set()     # one warn per column/stage
+
         def stat_one(item: tuple[int | None, str]) -> DataFile:
             bucket, dst = item
             meta = pq.ParquetFile(dst).metadata
@@ -1184,6 +1251,16 @@ class LakeTable:
             # pruning — Iceberg's per-column lower/upper bounds, limited
             # to the column the change feed's timestamp reads filter on
             tlo, thi = _col_minmax(meta, names, "ts")
+            if (tlo is None and "ts" in names and meta.num_rows > 0
+                    and "ts" not in warned_empty_stats):
+                # a physical type without parquet stats (e.g. INT96
+                # timestamps) silently disables file pruning on this
+                # column — surface it instead of degrading quietly
+                warned_empty_stats.add("ts")
+                logger.warning(
+                    "parquet footer carries no min/max statistics for "
+                    "column 'ts' (%s): time-range file pruning will not "
+                    "apply to this commit's files", os.path.basename(dst))
             # key-column value bounds for within-bucket file pruning
             # (parquet string stats may surface as bytes)
             klo, khi = _col_minmax(meta, names, bucket_col)

@@ -266,8 +266,13 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
         # scan of the batch, not two.
         from rockefeller_spark.cdc import dedupe_lww
         census_obs = Observation("mor_census")
+        # the row count rides the same Observation: collect_set drops NULL
+        # buckets, so "touched is empty" alone cannot distinguish an empty
+        # batch from a batch whose winners all have null bucket keys — the
+        # count disambiguates (the latter must NOT silently discard rows)
         merged = dedupe_lww(stored_src, order_col="_lsn").observe(
-            census_obs, F.collect_set(bexpr).alias("touched"))
+            census_obs, F.collect_set(bexpr).alias("touched"),
+            F.count(F.lit(1)).alias("n_winners"))
     else:
         target = table.read(buckets=touched)
         if snap.multi_version:
@@ -353,8 +358,9 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
                               pre_bucketed=True, span_buckets=(mode == "mor"))
     if mode == "mor":
         # the staging write was the census action — read the observation
-        touched = set(census_obs.get["touched"])
-        if not touched:
+        census = census_obs.get
+        touched = set(census["touched"])
+        if census["n_winners"] == 0:
             # empty batch: nothing was written worth keeping (at most a
             # zero-row parquet) — drop the orphans now and skip the commit
             for f in adds:
@@ -363,6 +369,21 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
                 except FileNotFoundError:
                     pass
             return ApplyResult(None, skipped=True, events_in=0)
+        if not touched:
+            # winners exist but every bucket key hashed to NULL (e.g. a
+            # bucket expression over a null key under a future bucketing
+            # function): deleting the staged files here would be SILENT
+            # data loss — refuse and leave routing to the caller (the
+            # streaming path quarantines bad rows before apply)
+            for f in adds:
+                try:
+                    os.remove(os.path.join(table.path, f.path))
+                except FileNotFoundError:
+                    pass
+            raise ValueError(
+                f"MOR census found {census['n_winners']} winner rows but "
+                "no non-null bucket keys; refusing to commit or discard "
+                "them — route null-key rows to quarantine before apply")
         # stamp each bucket-spanning delta file with the batch's touched-
         # bucket set (from the fused census, ≤ n_buckets ints): reads and
         # the change feed keep pruning under a delta trickle instead of
