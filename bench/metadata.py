@@ -21,11 +21,18 @@ What is measured per table size F (driver-side, no Spark):
   once per process, O(F) by necessity (it returns every entry).
 - ``n_shards``: manifest-shard count — grows with F via range splits.
 
-Run:  python bench/metadata.py
+Run:  python bench/metadata.py [--backend posix|s3sem] [--max-files N]
+
+``--backend s3sem`` routes the whole commit protocol through
+``FakeObjectStoreBackend`` (conditional-PUT objects + catalog-CAS
+pointer, every operation under the store-atomicity lock) so the
+metadata bill of an object-store deployment is a measured number, not
+an assumption — same curves, one column per backend.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -64,8 +71,17 @@ def bench_monolithic(files: list[DataFile], tmp: str) -> float:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", choices=["posix", "s3sem"], default="posix")
+    ap.add_argument("--max-files", type=int, default=10_000_000)
+    args = ap.parse_args()
+    if args.backend == "s3sem":
+        from rockefeller_spark.backends import FakeObjectStoreBackend
+        LakeTable.backend_factory = FakeObjectStoreBackend
     out = {}
     for n in (10_000, 100_000, 1_000_000, 10_000_000):
+        if n > args.max_files:
+            continue
         tmp = tempfile.mkdtemp(prefix="rk-metabench-")
         try:
             files = synth_files(n)
@@ -158,6 +174,7 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({"bench": "metadata_commit_cost", "n_buckets": N_BUCKETS,
+                      "backend": args.backend,
                       "results": {str(k): v for k, v in out.items()}}))
 
 

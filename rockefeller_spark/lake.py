@@ -74,7 +74,7 @@ import uuid
 from concurrent.futures import ThreadPoolExecutor
 from contextlib import contextmanager
 from dataclasses import dataclass
-from datetime import datetime, timezone
+from datetime import date, datetime, timezone
 from typing import Any, Callable
 
 import pyarrow.parquet as pq
@@ -178,6 +178,8 @@ class DataFile:
         if self.min_key is not None:
             d["min_key"] = self.min_key
             d["max_key"] = self.max_key
+        if self.stats is not None:
+            d["stats"] = self.stats
         return d
 
     @staticmethod
@@ -187,7 +189,8 @@ class DataFile:
                         d.get("buckets"), d.get("schema_v"),
                         d.get("min_ts"), d.get("max_ts"),
                         d.get("sorted_by"),
-                        d.get("min_key"), d.get("max_key"))
+                        d.get("min_key"), d.get("max_key"),
+                        d.get("stats"))
 
 
 # columnar manifest layout (format_version 2): one list per DataFile field,
@@ -196,7 +199,7 @@ class DataFile:
 # columns WITHOUT constructing DataFile objects at all (_cols_* helpers).
 _COL_FIELDS = ("path", "bucket", "rows", "min_lsn", "max_lsn",
                "buckets", "schema_v", "min_ts", "max_ts", "sorted_by",
-               "min_key", "max_key")
+               "min_key", "max_key", "stats")
 
 
 def _files_to_cols(files: list[DataFile]) -> dict[str, list]:
@@ -604,6 +607,31 @@ def _stats_friendly_writes(spark: SparkSession):
         conf.set(key, prev)
 
 
+def _trunc_lower(s: str, k: int) -> str:
+    """A valid LOWER bound for ``s`` of at most ``k`` chars (a prefix
+    sorts ≤ the full string) — Iceberg's truncate transform."""
+    return s if len(s) <= k else s[:k]
+
+
+def _trunc_upper(s: str, k: int) -> str | None:
+    """A valid UPPER bound for ``s`` of at most ``k`` chars: the prefix
+    with its last incrementable code point bumped (skipping the surrogate
+    block — orjson rejects lone surrogates). None when no prefix char can
+    be incremented (all U+10FFFF) — the caller drops the bound."""
+    if len(s) <= k:
+        return s
+    p = s[:k]
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c >= 0x10FFFF:
+            continue
+        c += 1
+        if 0xD800 <= c <= 0xDFFF:
+            c = 0xE000
+        return p[:i] + chr(c)
+    return None
+
+
 _XXP1 = 0x9E3779B185EBCA87
 _XXP2 = 0xC2B2AE3D27D4EB4F
 _XXP3 = 0x165667B19E3779F9
@@ -679,6 +707,13 @@ class LakeTable:
     # same deployment choice; tests swap in FakeObjectStoreBackend here
     # to run the crash/race suites under S3 semantics.
     backend_factory: Callable[[str], Any] = PosixBackend
+    # generalized per-column data skipping (DataFile.stats): string bounds
+    # truncate to this many chars (Iceberg's truncate transform — keeps
+    # manifests small; bounds stay valid, just less selective), and at
+    # most this many columns are stamped per file (wide tables stamp the
+    # leading columns; the rest simply don't prune)
+    stats_truncate_chars = 32
+    stats_max_columns = 32
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -1211,21 +1246,6 @@ class LakeTable:
                     shutil.move(os.path.join(bdir, fname), dst)
                     moves.append((bucket, dst))
 
-        def _col_minmax(meta, names: list[str], col: str):
-            try:
-                idx = names.index(col)
-            except ValueError:
-                return None, None
-            mins, maxs = [], []
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(idx).statistics
-                if st is not None and st.has_min_max:
-                    mins.append(st.min)
-                    maxs.append(st.max)
-            if not mins:
-                return None, None
-            return min(mins), max(maxs)
-
         def _micros(v) -> int | None:
             # parquet timestamp stats surface as datetime (tz-naive UTC in
             # this engine; session timezone pinned) or raw int micros
@@ -1238,42 +1258,107 @@ class LakeTable:
             return int(v)
 
         warned_empty_stats: set[str] = set()     # one warn per column/stage
+        trunc_k = self.stats_truncate_chars
+
+        def _stat_encode(v, *, lower: bool):
+            """Normalize one footer stat to its manifest (JSON) form:
+            timestamps → epoch micros, dates → ISO strings, bytes →
+            UTF-8, strings → truncated bounds. Raises on types the
+            skipping machinery can't order portably (the caller then
+            drops that column's bounds)."""
+            if v is None:
+                return None
+            if isinstance(v, datetime):
+                return _micros(v)
+            if isinstance(v, date):
+                return v.isoformat()
+            if isinstance(v, bytes):
+                v = v.decode("utf-8")          # non-text binary → skip col
+            if isinstance(v, str):
+                return _trunc_lower(v, trunc_k) if lower \
+                    else _trunc_upper(v, trunc_k)
+            if isinstance(v, bool) or isinstance(v, (int, float)):
+                return v
+            raise TypeError(type(v).__name__)
 
         def stat_one(item: tuple[int | None, str]) -> DataFile:
             bucket, dst = item
             meta = pq.ParquetFile(dst).metadata
-            names = [meta.schema.column(i).name
-                     for i in range(meta.num_columns)]
-            lo, hi = _col_minmax(meta, names, "_lsn")
+            nrows = meta.num_rows
+            # ONE footer pass: raw (min, max, null_count, physical_type)
+            # for every leaf column — the dedicated _lsn/ts/key fields and
+            # the generalized per-column stats all derive from it
+            raw: dict[str, tuple] = {}
+            for i in range(meta.num_columns):
+                cs = meta.schema.column(i)
+                if "." in cs.path:             # nested leaf: not a top-
+                    continue                   # level column, no bounds
+                mins, maxs = [], []
+                nulls, nulls_known = 0, True
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(i).statistics
+                    if st is None:
+                        nulls_known = False
+                        continue
+                    if st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    if st.null_count is None:
+                        nulls_known = False
+                    else:
+                        nulls += st.null_count
+                raw[cs.path] = (min(mins) if mins else None,
+                                max(maxs) if maxs else None,
+                                nulls if nulls_known else None,
+                                cs.physical_type)
+            lo, hi = raw.get("_lsn", (None, None, None, None))[:2]
             min_lsn = int(lo) if lo is not None else None
             max_lsn = int(hi) if hi is not None else None
             # event-time bounds (epoch micros) for time-bounded file
-            # pruning — Iceberg's per-column lower/upper bounds, limited
-            # to the column the change feed's timestamp reads filter on
-            tlo, thi = _col_minmax(meta, names, "ts")
-            if (tlo is None and "ts" in names and meta.num_rows > 0
+            # pruning — Iceberg's per-column lower/upper bounds
+            tlo, thi, _tn, tphys = raw.get("ts", (None, None, None, None))
+            if (tlo is None and tphys == "INT96" and nrows > 0
                     and "ts" not in warned_empty_stats):
-                # a physical type without parquet stats (e.g. INT96
-                # timestamps) silently disables file pruning on this
-                # column — surface it instead of degrading quietly
+                # INT96 parquet columns carry no statistics — time-range
+                # file pruning would silently degrade to a no-op; the
+                # staging write pins TIMESTAMP_MICROS, so reaching here
+                # means a foreign write path bypassed that pin
                 warned_empty_stats.add("ts")
                 logger.warning(
                     "parquet footer carries no min/max statistics for "
-                    "column 'ts' (%s): time-range file pruning will not "
-                    "apply to this commit's files", os.path.basename(dst))
+                    "column 'ts' (%s, INT96): time-range file pruning "
+                    "will not apply to this commit's files",
+                    os.path.basename(dst))
             # key-column value bounds for within-bucket file pruning
             # (parquet string stats may surface as bytes)
-            klo, khi = _col_minmax(meta, names, bucket_col)
+            klo, khi = raw.get(bucket_col, (None, None, None, None))[:2]
             if isinstance(klo, bytes):
                 klo = klo.decode("utf-8", "replace")
             if isinstance(khi, bytes):
                 khi = khi.decode("utf-8", "replace")
+            # generalized data skipping: [lo, hi, null_count] for every
+            # remaining leaf column the bounds machinery can order
+            stats: dict[str, list] = {}
+            for name, (slo, shi, snulls, _phys) in raw.items():
+                if name in ("_lsn", "ts", bucket_col):
+                    continue                   # dedicated fields above
+                if len(stats) >= self.stats_max_columns:
+                    break
+                try:
+                    elo = _stat_encode(slo, lower=True)
+                    ehi = _stat_encode(shi, lower=False)
+                except (UnicodeDecodeError, TypeError):
+                    continue                   # unorderable / binary col
+                if elo is None and ehi is None and not snulls:
+                    continue                   # nothing skippable on it
+                stats[name] = [elo, ehi, snulls]
             return DataFile(os.path.join("data", os.path.basename(dst)),
-                            bucket, meta.num_rows, min_lsn, max_lsn,
+                            bucket, nrows, min_lsn, max_lsn,
                             min_ts=_micros(tlo), max_ts=_micros(thi),
                             sorted_by=list(sort_cols) if sort_cols else None,
                             min_key=(klo if isinstance(klo, str) else None),
-                            max_key=(khi if isinstance(khi, str) else None))
+                            max_key=(khi if isinstance(khi, str) else None),
+                            stats=stats or None)
 
         # footer stats are tiny independent I/O reads; done serially they
         # dominate small-batch commits (≤n_buckets files × ~20 ms each),
@@ -1435,7 +1520,8 @@ class LakeTable:
              buckets: set[int] | None = None, *,
              as_of: "int | float | datetime | None" = None,
              ts_range: "tuple | None" = None,
-             key_range: "tuple[str | None, str | None] | None" = None) \
+             key_range: "tuple[str | None, str | None] | None" = None,
+             where: "dict[str, tuple] | None" = None) \
             -> DataFrame:
         """Snapshot-pinned read. Old files lacking newer (evolved) columns
         are null-filled because the read uses the snapshot's full schema.
@@ -1468,7 +1554,19 @@ class LakeTable:
         disjoint, so a point lookup (``key_range=(k, k)``, what
         :meth:`lookup` passes) opens ONE file of the bucket instead of
         all of them. Files without key stats are conservatively kept and
-        the row-level filter keeps the result exact."""
+        the row-level filter keeps the result exact.
+
+        ``where={col: (lo, hi), ...}`` generalizes the same closed-range
+        file skipping to EVERY column (Iceberg per-column lower/upper
+        bounds + null counts, ``DataFile.stats``): files whose stamped
+        bounds don't intersect a range — or whose rows are ALL NULL for
+        a filtered column (a range filter matches no NULLs) — are pruned
+        before any scan, and the exact row filter applies on top. ``ts``
+        / the key column / ``_lsn`` route to their dedicated bounds, so
+        ``where`` is a superset of ``ts_range``/``key_range``. String
+        bounds are stored truncated (lower-prefix / bumped-upper), which
+        only ever keeps extra files, never wrongly prunes. Columns
+        written before stats stamping existed are conservatively kept."""
         if as_of is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or as_of, not both")
@@ -1500,6 +1598,74 @@ class LakeTable:
                 return False
             return True
 
+        # --- where= normalization: route the dedicated columns to their
+        # bounds above; everything else prunes on DataFile.stats ---------
+        lsn_lo = lsn_hi = None
+        gen_cols: dict[str, tuple] = {}   # col -> (stat_lo, stat_hi, is_ts)
+        if where:
+            ftypes = {f.name: f.dataType for f in snap.schema.fields}
+            for c, rng in where.items():
+                lo, hi = rng
+                if c == "ts":
+                    if ts_range is not None:
+                        raise ValueError("pass ts bounds via ts_range or "
+                                         "where['ts'], not both")
+                    ts_lo = self._ts_micros(lo) if lo is not None else None
+                    ts_hi = self._ts_micros(hi) if hi is not None else None
+                elif c == snap.bucket_col:
+                    if key_range is not None:
+                        raise ValueError("pass key bounds via key_range or "
+                                         f"where['{c}'], not both")
+                    key_lo, key_hi = lo, hi
+                elif c == "_lsn":
+                    lsn_lo, lsn_hi = lo, hi
+                else:
+                    if c not in ftypes:
+                        raise ValueError(f"where column {c!r} is not in the "
+                                         "table schema")
+                    is_ts = isinstance(ftypes[c], T.TimestampType)
+
+                    def _sv(v):
+                        if v is None:
+                            return None
+                        if is_ts:
+                            return self._ts_micros(v)
+                        if isinstance(v, date) and not isinstance(v, datetime):
+                            return v.isoformat()   # stats store ISO dates
+                        return v
+                    gen_cols[c] = (_sv(lo), _sv(hi), is_ts)
+
+        def gen_keep(stats: dict | None, fmin_lsn, fmax_lsn, frows) -> bool:
+            # per-column bounds + null-count skipping; unknown stats kept
+            if lsn_lo is not None and fmax_lsn is not None \
+                    and fmax_lsn < lsn_lo:
+                return False
+            if lsn_hi is not None and fmin_lsn is not None \
+                    and fmin_lsn > lsn_hi:
+                return False
+            for c, (slo, shi, _is_ts) in gen_cols.items():
+                ent = stats.get(c) if stats else None
+                if ent is None:
+                    continue
+                flo, fhi, fnulls = ent
+                if flo is None and fhi is None:
+                    if fnulls is not None and frows and fnulls >= frows:
+                        return False   # all NULL: a range matches nothing
+                    continue
+                try:
+                    if shi is not None and flo is not None and flo > shi:
+                        return False
+                    if slo is not None and fhi is not None and fhi < slo:
+                        return False
+                except TypeError:      # incomparable bound types: keep
+                    continue
+            return True
+
+        gen_active = bool(gen_cols) or lsn_lo is not None \
+            or lsn_hi is not None
+        prune_active = gen_active or ts_lo is not None or ts_hi is not None \
+            or key_lo is not None or key_hi is not None
+
         # plan from COLUMNS, not DataFile objects: a full-table read at
         # 10^7 files needs only (path, schema_v[, era], ts bounds) —
         # object construction would triple the driver-side planning cost
@@ -1508,17 +1674,20 @@ class LakeTable:
         if buckets is None:
             era_cache: dict[int | None, int] = {}
             for cols in snap.file_columns():
-                if not snap.name_log and ts_range is None \
-                        and key_range is None:
+                if not snap.name_log and not prune_active:
                     # single era, no pruning: skip per-file work entirely
                     by_era.setdefault(0, []).extend(
                         os.path.join(self.path, p) for p in cols["path"])
                     continue
-                for p, sv, fmin, fmax, kmin, kmax in zip(
-                        cols["path"], cols["schema_v"],
-                        cols["min_ts"], cols["max_ts"],
-                        cols["min_key"], cols["max_key"]):
+                for p, sv, fmin, fmax, kmin, kmax, fst, flsn0, flsn1, frows \
+                        in zip(cols["path"], cols["schema_v"],
+                               cols["min_ts"], cols["max_ts"],
+                               cols["min_key"], cols["max_key"],
+                               cols["stats"], cols["min_lsn"],
+                               cols["max_lsn"], cols["rows"]):
                     if not ts_keep(fmin, fmax) or not key_keep(kmin, kmax):
+                        continue
+                    if gen_active and not gen_keep(fst, flsn0, flsn1, frows):
                         continue
                     era = era_cache.get(sv)
                     if era is None:
@@ -1531,6 +1700,9 @@ class LakeTable:
             for f in snap.files_for(buckets):
                 if not ts_keep(f.min_ts, f.max_ts) \
                         or not key_keep(f.min_key, f.max_key):
+                    continue
+                if gen_active and not gen_keep(f.stats, f.min_lsn,
+                                               f.max_lsn, f.rows):
                     continue
                 era = snap.file_era(f.schema_v)
                 by_era.setdefault(era, []).append(
@@ -1547,6 +1719,19 @@ class LakeTable:
                 df = df.filter(F.col(snap.bucket_col) >= F.lit(key_lo))
             if key_hi is not None:
                 df = df.filter(F.col(snap.bucket_col) <= F.lit(key_hi))
+            if lsn_lo is not None:
+                df = df.filter(F.col("_lsn") >= F.lit(lsn_lo))
+            if lsn_hi is not None:
+                df = df.filter(F.col("_lsn") <= F.lit(lsn_hi))
+            for c, (slo, shi, is_ts) in gen_cols.items():
+                if slo is not None:
+                    df = df.filter(F.col(c) >= (
+                        F.timestamp_micros(F.lit(slo)) if is_ts
+                        else F.lit(where[c][0])))
+                if shi is not None:
+                    df = df.filter(F.col(c) <= (
+                        F.timestamp_micros(F.lit(shi)) if is_ts
+                        else F.lit(where[c][1])))
             return df
 
         if not by_era:

@@ -36,6 +36,7 @@ UPDATE (``/root/reference/scripts/verify.py:60-87``).
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Union
 
@@ -66,6 +67,13 @@ class ApplyResult:
     # >1 = optimistic-concurrency recomputes) — the multi-writer
     # observability counter
     attempts: int = 1
+    # per-phase wall seconds of this apply: {"census_s", "stage_s",
+    # "commit_s", "total_s"}. ``stage_s`` is the cluster job (shuffle +
+    # write); ``commit_s`` is pure DRIVER work (manifest serialization +
+    # the atomic publish) — the per-micro-batch fixed cost that bounds
+    # streaming throughput at high trigger rates (bench_stream reports
+    # the aggregate breakdown so that cost is a number, not a guess).
+    timings: dict | None = None
 
     def lineage(self) -> dict[str, Any]:
         return {} if self.snapshot is None else self.snapshot.lineage
@@ -187,6 +195,8 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
             table.epoch_committed(stream_id, epoch):
         return ApplyResult(None, skipped=True)
 
+    t_start = time.time()
+    t_census = 0.0
     snap = table.current()
     events = normalize_columns(events)
 
@@ -216,8 +226,10 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
         # target read prunes on it); MOR instead piggybacks the census on
         # the staging write below (an Observation over the winners — same
         # bucket set, zero extra pass; measured ~13% of the MOR apply wall).
+        _t0 = time.time()
         touched_rows = (events.groupBy(bexpr.alias("b"))
                         .agg(F.count(F.lit(1)).alias("n")).collect())
+        t_census = time.time() - _t0
         touched = {r["b"] for r in touched_rows}
         bucket_counts = {r["b"]: r["n"] for r in touched_rows}
         if not touched:
@@ -354,8 +366,10 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
     # Stage the data files FIRST (expensive, crash-safe: uncommitted files
     # are ignorable orphans), derive per-bucket lineage from their footer
     # stats (no extra job), then commit everything in one atomic snapshot.
+    _t0 = time.time()
     adds = table._stage_write(merged, snap.n_buckets, snap.bucket_col,
                               pre_bucketed=True, span_buckets=(mode == "mor"))
+    t_stage = time.time() - _t0
     if mode == "mor":
         # the staging write was the census action — read the observation
         census = census_obs.get
@@ -432,6 +446,7 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
         multi_version = None           # inherit (a CoW apply resolves only
                                        # the buckets it touched)
     rebased = False
+    _t0 = time.time()
     try:
         new_snap = table.commit(adds, remove, stream_id=stream_id,
                                 epoch=epoch, new_schema=new_schema,
@@ -447,9 +462,14 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
         if new_snap is _SKIPPED:
             return ApplyResult(None, skipped=True)
         rebased = True
+    t_commit = time.time() - _t0
     return ApplyResult(new_snap, events_in=events_in, winners=None,
                        buckets_touched=sorted(touched),
-                       rows_written=rows_written, rebased=rebased)
+                       rows_written=rows_written, rebased=rebased,
+                       timings={"census_s": round(t_census, 4),
+                                "stage_s": round(t_stage, 4),
+                                "commit_s": round(t_commit, 4),
+                                "total_s": round(time.time() - t_start, 4)})
 
 
 _SKIPPED = object()   # sentinel: competitor committed our (stream, epoch)

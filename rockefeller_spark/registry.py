@@ -284,17 +284,19 @@ atexit.register(shutil.rmtree, _TSPRUNE_SCRATCH, True)
 
 
 def q_cdc_time_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column data skipping (round 6): files carry event-time
-    ``min_ts``/``max_ts`` footer bounds in their manifests, and a
-    time-bounded read (``read(ts_range=...)`` — the change-feed-by-
-    timestamp shape) prunes whole FILES before any scan. The table is
-    built from four time-sliced appends (the natural time-clustered
-    layout of an append-mostly history table); the read asks for the
-    middle half-window. Verified IN-QUERY from the physical plan: the
-    scan's ``inputFiles()`` must (a) all overlap the window per their
-    stamped bounds and (b) be a strict subset of the table's files —
-    at least one file was actually skipped. Oracle: the same change
-    mapping + micros window filter in SQL."""
+    """Data-skipping reads (rounds 6+7): files carry per-column footer
+    bounds in their manifests — dedicated event-time ``min_ts``/``max_ts``
+    plus GENERALIZED per-column ``stats`` (Iceberg lower/upper bounds +
+    null counts, round 7) — and bounded reads prune whole FILES before
+    any scan. Two legs over two scratch layouts: (a) a time-sliced table
+    read with ``read(ts_range=...)`` (the change-feed-by-timestamp
+    shape); (b) a ``turn_idx``-sliced table read with
+    ``read(where={"turn_idx": (5, 9)})`` — an arbitrary non-key,
+    non-time column, pruned purely on the generalized stats. Both legs
+    verify IN-QUERY from the physical plan: the scan's ``inputFiles()``
+    must all overlap the window per their stamped bounds and be a strict
+    subset of the table's files. Oracle: the same change mapping with
+    the two row filters, UNION ALL, tagged by ``src``."""
     ev = events_as_changes(_t(spark, sf_dir, "events"))
     from rockefeller_spark.cdc import winners_to_stored
     stored = winners_to_stored(ev).filter(F.col("ts").isNotNull())
@@ -322,9 +324,30 @@ def q_cdc_time_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmin, fmax = bounds[p]
         assert fmin is not None and fmin <= hi and fmax >= lo, \
             f"scan opened a file outside the ts window: {p}"
-    return df.select("conv_id", "turn_idx", "role", "text", "tool",
-                     F.unix_micros("ts").alias("ts_us"),
-                     F.col("_lsn").alias("lsn"))
+    # --- leg (b): generalized per-column stats pruning ------------------
+    tb = LakeTable.create(spark, os.path.join(_TSPRUNE_SCRATCH, "t2"),
+                          stored.schema, n_buckets=4)
+    for tlo in (0, 5, 10, 15):    # turn-sliced appends => turn-clustered
+        tb.append(stored.filter(F.col("turn_idx").between(tlo, tlo + 4)))
+    df2 = tb.read(where={"turn_idx": (5, 9)})
+    snap2 = tb.current()
+    st = {os.path.basename(f.path): (f.stats or {}).get("turn_idx")
+          for f in snap2.files}
+    opened2 = {os.path.basename(p) for p in df2.inputFiles()}
+    assert opened2, "column-bounded read planned no files"
+    assert len(opened2) < len(st), \
+        "no file was pruned — turn_idx bounds should skip other slices"
+    for p in opened2:
+        ent = st[p]
+        assert ent is not None and ent[0] <= 9 and ent[1] >= 5, \
+            f"scan opened a file outside the turn_idx window: {p}"
+
+    def shape(d: DataFrame, tag: str) -> DataFrame:
+        return d.select(F.lit(tag).alias("src"), "conv_id", "turn_idx",
+                        "role", "text", "tool",
+                        F.unix_micros("ts").alias("ts_us"),
+                        F.col("_lsn").alias("lsn"))
+    return shape(df, "ts").unionByName(shape(df2, "col"))
 
 
 SQL_CDC_TIME_PRUNED_READ = """
@@ -336,9 +359,12 @@ WITH ch AS (
          CAST(NULL AS VARCHAR) AS tool, epoch_us(ts) AS ts_us
   FROM events WHERE event_type <> 'error'),
 b AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM ch)
-SELECT conv_id, turn_idx, role, text, tool, ts_us, lsn
+SELECT 'ts' AS src, conv_id, turn_idx, role, text, tool, ts_us, lsn
 FROM ch, b
 WHERE ts_us >= mn + (mx - mn) // 4 AND ts_us <= mn + (mx - mn) // 2
+UNION ALL
+SELECT 'col' AS src, conv_id, turn_idx, role, text, tool, ts_us, lsn
+FROM ch WHERE turn_idx BETWEEN 5 AND 9
 """
 
 

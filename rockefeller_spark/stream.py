@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import time
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,7 @@ from pyspark.sql.streaming import StreamingQuery
 from rockefeller_spark import schema as S
 from rockefeller_spark.lake import LakeTable
 from rockefeller_spark.maintenance import CompactionPolicy, maintain
+from rockefeller_spark.sources import FileSource
 from rockefeller_spark.merge import apply_batch
 from rockefeller_spark.metrics import MetricsLog
 from rockefeller_spark.quarantine import split_quarantine
@@ -74,6 +76,7 @@ def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
                        metrics: MetricsLog | None = None,
                        compaction: CompactionPolicy | None = None,
                        transform: Callable[[DataFrame], DataFrame] | None = None,
+                       timings: list | None = None,
                        ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` body, exposed so ANY source shape can drive the
     sink — the file tail below, a rate source, or ``format("kafka")`` with
@@ -88,6 +91,7 @@ def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
     ``retries`` times (see :func:`merge.apply_batch`). Single-writer
     deployments keep 0 (fail fast)."""
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
         if transform is not None:
             batch_df = transform(batch_df)
         good, bad = split_quarantine(batch_df)
@@ -98,12 +102,26 @@ def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
             .write.mode("overwrite")
             .parquet(os.path.join(quarantine_dir,
                                   f"{stream_id}-{batch_id:08d}")))
+        t_quar = time.time() - t0
         res = apply_batch(table, good, stream_id=stream_id, epoch=batch_id,
                           write_salt=write_salt, mode=mode, retries=retries)
         if metrics is not None:
             metrics.record(res, stream_id=stream_id, epoch=batch_id)
+        t_maint = 0.0
         if compaction is not None and res.snapshot is not None:
+            _t = time.time()
             maintain(table, compaction)
+            t_maint = time.time() - _t
+        if timings is not None:
+            # per-micro-batch wall breakdown (bench_stream aggregates it
+            # into the driver-cost table — VERDICT r6 item 6)
+            row = {"batch_id": batch_id, "events_in": res.events_in,
+                   "quarantine_s": round(t_quar, 4),
+                   "maintain_s": round(t_maint, 4),
+                   "batch_total_s": round(time.time() - t0, 4)}
+            if res.timings:
+                row.update(res.timings)
+            timings.append(row)
     return _apply
 
 
@@ -121,7 +139,8 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
                metrics: MetricsLog | None = None,
                quarantine_dir: str | None = None,
                compaction: CompactionPolicy | None = None,
-               options: dict[str, Any] | None = None) -> StreamingQuery:
+               options: dict[str, Any] | None = None,
+               timings: list | None = None) -> StreamingQuery:
     """Start the WAL tail. Returns the StreamingQuery; callers own its
     lifecycle (``processAllAvailable``/``awaitTermination``/``stop``).
 
@@ -144,12 +163,13 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
     batch (metadata checks only).
     """
     schema = event_schema or S.CHANGE_EVENT_SCHEMA
-    reader = (spark.readStream.format(source_format).schema(schema))
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    for k, v in (options or {}).items():
-        reader = reader.option(k, v)
-    events = reader.load(source_dir).withWatermark("event_ts", watermark)
+    # the WAL tail is a Source (the ingest seam — sources.py): swapping a
+    # kafka/jdbc-backed implementation in changes nothing downstream
+    src = FileSource(source_dir, source_format, schema=schema,
+                     options=dict(options or {}))
+    events = (src.read_stream(spark,
+                              max_files_per_trigger=max_files_per_trigger)
+              .withWatermark("event_ts", watermark))
     if dedup_in_stream:
         # optional stateful pre-dedup: drops exact at-least-once replays
         # before they reach the sink (state bounded by the watermark).
@@ -161,7 +181,7 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
     qdir = quarantine_dir or os.path.join(table.path, "quarantine")
     _apply = make_batch_applier(table, sid, qdir, write_salt=write_salt,
                                 mode=mode, retries=retries, metrics=metrics,
-                                compaction=compaction)
+                                compaction=compaction, timings=timings)
 
     writer = (events.writeStream
               .foreachBatch(_apply)

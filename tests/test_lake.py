@@ -453,3 +453,112 @@ def test_key_bound_file_pruning_after_sorted_compact(spark, table):
     got = table.lookup(key).toPandas()
     want = (table.read().filter(F.col("conv_id") == key).toPandas())
     assert sorted(got.turn_idx) == sorted(want.turn_idx) and len(got) > 0
+
+
+def test_generalized_column_stats_stamped(spark, table):
+    """Every leaf column beyond the dedicated _lsn/ts/key fields gets
+    [lo, hi, null_count] bounds stamped from the parquet footer
+    (Iceberg per-column stats), with string bounds truncated."""
+    ev = gen.gen_change_events(spark, n_events=3000, n_convs=20, seed=271)
+    apply_batch(table, ev)
+    for f in table.current().files:
+        assert f.stats, "stats must stamp on every staged file"
+        assert "turn_idx" in f.stats
+        lo, hi, nulls = f.stats["turn_idx"]
+        assert lo is not None and lo <= hi
+        assert nulls == 0
+        # dedicated columns never duplicate into stats
+        assert not {"_lsn", "ts", "conv_id"} & set(f.stats)
+        # string bounds respect the truncation cap
+        for c, (slo, shi, _n) in f.stats.items():
+            if isinstance(slo, str):
+                assert len(slo) <= LakeTable.stats_truncate_chars
+            if isinstance(shi, str):
+                assert len(shi) <= LakeTable.stats_truncate_chars
+
+
+def test_where_read_prunes_files_and_filters_rows(spark, table):
+    """read(where={col: (lo, hi)}): files whose stamped bounds don't
+    intersect the range are skipped before any scan (verified from
+    inputFiles()), and the row filter keeps the result exact."""
+    ev = gen.gen_change_events(spark, n_events=6000, n_convs=30,
+                               max_turns=40, seed=277)
+    from rockefeller_spark.cdc import winners_to_stored
+    stored = winners_to_stored(ev)
+    # turn-sliced appends => files clustered by turn_idx
+    for tlo in (0, 10, 20, 30):
+        table.append(stored.filter(F.col("turn_idx").between(tlo, tlo + 9)))
+    snap = table.current()
+    df = table.read(where={"turn_idx": (10, 19)})
+    opened = {os.path.basename(p) for p in df.inputFiles()}
+    all_files = {os.path.basename(f.path) for f in snap.files}
+    assert opened and opened < all_files, "at least one file must prune"
+    for f in snap.files:
+        lo, hi, _ = f.stats["turn_idx"]
+        if os.path.basename(f.path) in opened:
+            assert lo <= 19 and hi >= 10
+    # values match a plain filtered read
+    got = sorted(map(tuple, df.select("conv_id", "turn_idx", "_lsn").collect()))
+    want = sorted(map(tuple, table.read()
+                      .filter(F.col("turn_idx").between(10, 19))
+                      .select("conv_id", "turn_idx", "_lsn").collect()))
+    assert got == want and got
+
+
+def test_where_read_lsn_range_uses_dedicated_bounds(spark, table):
+    """where={'_lsn': ...} prunes on the dedicated min_lsn/max_lsn file
+    bounds: appends carry disjoint LSN ranges, so an LSN-windowed read
+    (the 'what changed in this LSN interval' audit shape) opens only the
+    overlapping appends' files."""
+    ev = gen.gen_change_events(spark, n_events=4000, n_convs=20, seed=281)
+    from rockefeller_spark.cdc import winners_to_stored
+    stored = winners_to_stored(ev)
+    mn, mx = stored.agg(F.min("_lsn"), F.max("_lsn")).collect()[0]
+    step = (mx - mn) // 4 + 1
+    cuts = [mn + i * step for i in range(5)]
+    for lo, hi in zip(cuts, cuts[1:]):
+        table.append(stored.filter((F.col("_lsn") >= lo)
+                                   & (F.col("_lsn") < hi)))
+    lo, hi = cuts[1], cuts[2] - 1
+    df = table.read(where={"_lsn": (lo, hi)})
+    snap = table.current()
+    opened = {os.path.basename(p) for p in df.inputFiles()}
+    assert opened and len(opened) < len(snap.files)
+    for f in snap.files:
+        if os.path.basename(f.path) in opened:
+            assert f.min_lsn <= hi and f.max_lsn >= lo
+    got = df.count()
+    want = table.read().filter(F.col("_lsn").between(lo, hi)).count()
+    assert got == want > 0
+
+
+def test_where_read_prunes_all_null_files(spark, table):
+    """A range filter matches no NULLs, so a file whose rows are ALL
+    NULL for the filtered column is pruned via its null_count — even
+    with no min/max bounds to test against."""
+    ev = gen.gen_change_events(spark, n_events=2000, n_convs=10, seed=283)
+    from rockefeller_spark.cdc import winners_to_stored
+    stored = winners_to_stored(ev)
+    table.append(stored.withColumn("tool", F.lit(None).cast("string")))
+    table.append(stored.withColumn("tool", F.lit("browser")))
+    snap = table.current()
+    nullfiles = {os.path.basename(f.path) for f in snap.files
+                 if f.stats["tool"][0] is None}
+    assert nullfiles and len(nullfiles) < len(snap.files)
+    df = table.read(where={"tool": ("a", "z")})
+    opened = {os.path.basename(p) for p in df.inputFiles()}
+    assert opened and not (opened & nullfiles)
+    assert df.count() == stored.count()
+
+
+def test_trunc_upper_bound_is_valid():
+    from rockefeller_spark.lake import _trunc_lower, _trunc_upper
+    s = "x" * 100 + "tail"
+    lo, hi = _trunc_lower(s, 32), _trunc_upper(s, 32)
+    assert len(lo) <= 32 and len(hi) <= 32
+    assert lo <= s <= hi
+    assert _trunc_upper("short", 32) == "short"
+    # surrogate block is skipped when bumping
+    s2 = "a" * 31 + "퟿" + "zz"
+    hi2 = _trunc_upper(s2, 32)
+    assert hi2 >= s2 and not (0xD800 <= ord(hi2[-1]) <= 0xDFFF)
