@@ -167,3 +167,32 @@ def test_mor_delta_files_carry_key_bounds_and_prune_lookups(spark, table):
     got = table.lookup(a_key).count()
     want = read_state(table).filter(F.col("conv_id") == a_key).count()
     assert got >= want > 0
+
+
+def test_mor_empty_batch_skips_but_null_buckets_refuse(spark, table,
+                                                       monkeypatch):
+    """The fused MOR census rides a collect_set Observation, which drops
+    NULL buckets — a row count on the same Observation disambiguates:
+    a truly EMPTY batch skips cleanly, while winners whose bucket keys
+    all hash to NULL must raise (silently deleting their staged files
+    would be data loss), never commit, never discard."""
+    ev = gen.gen_change_events(spark, n_events=500, n_convs=5, seed=331)
+    # empty batch -> clean skip
+    res = apply_batch(table, ev.filter(F.lit(False)), mode="mor")
+    assert res.skipped and res.snapshot is None
+    assert not [f for f in table.current().files]
+    # force the pathological census: a bucket expression that yields NULL
+    import rockefeller_spark.merge as merge_mod
+    from pyspark.sql import types as T
+
+    def null_bucket_expr(col, n):
+        return F.lit(None).cast(T.IntegerType())
+    monkeypatch.setattr(merge_mod, "bucket_expr", null_bucket_expr)
+    with pytest.raises(ValueError, match="quarantine"):
+        apply_batch(table, ev, mode="mor")
+    # nothing committed, and the refused batch's staged files were removed
+    assert table.current().snapshot_id == 0
+    import os
+    leftovers = [f for f in os.listdir(table.data_dir)] \
+        if os.path.isdir(table.data_dir) else []
+    assert not leftovers
