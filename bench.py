@@ -180,11 +180,14 @@ def _stream_breakdown(batch_timings: list, wall: float) -> dict:
             "stage_s": tot("stage_s"),
             "commit_s": tot("commit_s"),
             "census_s": tot("census_s"),
+            # gated on the bad-row count riding the apply's scan
+            # (stream.make_batch_applier): ~0 for clean batches
             "quarantine_s": tot("quarantine_s"),
             "maintain_s": tot("maintain_s"),
             "other_in_batch_s": round(
                 in_batch - tot("stage_s") - tot("commit_s")
-                - tot("census_s") - tot("quarantine_s") - tot("maintain_s"), 3),
+                - tot("census_s") - tot("quarantine_s")
+                - tot("maintain_s"), 3),
             "trigger_gap_s": round(wall - in_batch, 3),
             "per_batch_driver_s": round(
                 (tot("commit_s") + tot("census_s") + tot("maintain_s")) / n, 4)}

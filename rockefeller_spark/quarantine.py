@@ -20,7 +20,7 @@ Two control-plane operators re-expressed from the reference:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 # classification reasons, in evaluation order
@@ -55,6 +55,30 @@ def split_quarantine(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     bad = (tagged.filter(F.col("_reason").isNotNull())
            .withColumn("quarantined_at", F.current_timestamp()))
     return valid, bad
+
+
+def split_quarantine_observed(
+        events: DataFrame) -> tuple[DataFrame, DataFrame, Observation]:
+    """:func:`split_quarantine` plus a bad-row counter riding whatever
+    action first runs over either branch — typically the apply's own
+    census/staging job over the VALID side, so the caller learns whether
+    any rows were quarantined without a second scan of the batch. The
+    dead-letter write is the expensive part of a healthy stream's batch
+    loop (a full-width scan of the batch to write zero rows — measured
+    24% of a drain's wall, BENCH/BASELINE.md round 7); gating it on
+    ``obs.get["n_bad"] == 0`` makes the clean-batch path scan-free.
+
+    Only read ``obs.get`` after an action is KNOWN to have run over the
+    returned frames (it blocks until the metrics exist)."""
+    tagged = events.withColumn("_reason", classify(events))
+    obs = Observation()
+    tagged = tagged.observe(
+        obs, F.count(F.when(F.col("_reason").isNotNull(), True))
+              .alias("n_bad"))
+    valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+    bad = (tagged.filter(F.col("_reason").isNotNull())
+           .withColumn("quarantined_at", F.current_timestamp()))
+    return valid, bad, obs
 
 
 # engine columns the quarantine writer attaches; stripped before re-drive

@@ -41,7 +41,7 @@ from rockefeller_spark.maintenance import CompactionPolicy, maintain
 from rockefeller_spark.sources import FileSource
 from rockefeller_spark.merge import apply_batch
 from rockefeller_spark.metrics import MetricsLog
-from rockefeller_spark.quarantine import split_quarantine
+from rockefeller_spark.quarantine import split_quarantine_observed
 
 
 def stream_id_for(checkpoint_dir: str) -> str:
@@ -81,9 +81,10 @@ def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
     """The ``foreachBatch`` body, exposed so ANY source shape can drive the
     sink — the file tail below, a rate source, or ``format("kafka")`` with
     a ``transform`` that parses the value bytes into the change-event
-    shape. Each micro-batch: optional transform → dead-letter split
-    (epoch-keyed idempotent quarantine write) → idempotent apply →
-    metrics → optional auto-maintenance (:func:`maintenance.maintain`).
+    shape. Each micro-batch: optional transform → dead-letter split →
+    idempotent apply (the bad-row count rides its scan as an Observation)
+    → count-gated epoch-keyed quarantine write → metrics → optional
+    auto-maintenance (:func:`maintenance.maintain`).
 
     ``retries`` > 0 is REQUIRED when more than one writer targets the
     table (a second stream, a concurrent compactor/DML): a losing commit
@@ -94,17 +95,32 @@ def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
         t0 = time.time()
         if transform is not None:
             batch_df = transform(batch_df)
-        good, bad = split_quarantine(batch_df)
-        # epoch-keyed overwrite: replaying this batch rewrites the same
-        # subdir rather than appending duplicates
-        (bad.withColumn("_stream_id", F.lit(stream_id))
-            .withColumn("_epoch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .parquet(os.path.join(quarantine_dir,
-                                  f"{stream_id}-{batch_id:08d}")))
-        t_quar = time.time() - t0
+        good, bad, qobs = split_quarantine_observed(batch_df)
         res = apply_batch(table, good, stream_id=stream_id, epoch=batch_id,
                           write_salt=write_salt, mode=mode, retries=retries)
+        # Dead-letter write, GATED on the bad-row count that rode the
+        # apply's own census/staging scan (zero extra pass): a clean batch
+        # — the steady state of a healthy stream — skips the second
+        # full-width scan of the batch entirely (it was 24% of a drain's
+        # wall, BENCH/BASELINE.md round 7). ``events_in is None`` means
+        # apply short-circuited BEFORE any action (epoch-gate replay, or a
+        # competing writer landed the same epoch), so the count never
+        # materialized — those rare paths fall back to the unconditional
+        # write, which is exactly what a replay needs: the write is
+        # epoch-keyed overwrite (same subdir rewritten, no duplicates).
+        # Failure ordering is unchanged: a lost dead-letter write fails
+        # the batch before the checkpoint advances, and the replay is safe
+        # because apply is epoch-gated + LWW-idempotent.
+        t_quar = 0.0
+        n_bad = None if res.events_in is None else qobs.get["n_bad"]
+        if n_bad is None or n_bad:
+            _t = time.time()
+            (bad.withColumn("_stream_id", F.lit(stream_id))
+                .withColumn("_epoch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .parquet(os.path.join(quarantine_dir,
+                                      f"{stream_id}-{batch_id:08d}")))
+            t_quar = time.time() - _t
         if metrics is not None:
             metrics.record(res, stream_id=stream_id, epoch=batch_id)
         t_maint = 0.0
