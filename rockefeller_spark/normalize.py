@@ -22,14 +22,33 @@ def normalize_name(name: str) -> str:
     return NORMALIZE_PATTERN.sub("_", name.lower()).strip("_")
 
 
-def normalize_columns(df: DataFrame) -> DataFrame:
-    """Rename every column to its normalized form. Empty input (no
-    columns) is rejected, matching the reference's guard
-    (``/root/reference/scripts/tools/df_manipulation.py:68-69``)."""
-    if not df.columns:
+def _normalized_names(columns) -> list[str]:
+    cols = list(columns)
+    if not cols:
         raise ValueError("DataFrame has no columns to normalize")
-    new_names = [normalize_name(c) for c in df.columns]
+    new_names = [normalize_name(c) for c in cols]
     dupes = {n for n in new_names if new_names.count(n) > 1}
     if dupes:
         raise ValueError(f"normalization would collide column names: {sorted(dupes)}")
-    return df.toDF(*new_names)
+    return new_names
+
+
+def normalize_columns(df):
+    """Rename every column to its normalized form. Empty input (no
+    columns) is rejected, matching the reference's guard
+    (``/root/reference/scripts/tools/df_manipulation.py:68-69``).
+
+    Dispatches on the frame engine, mirroring the reference's dual
+    pandas/polars injection (``df_manipulation.py:103-114``): Spark
+    frames rename in the logical plan (zero data movement), pandas and
+    polars frames rename driver-side metadata. Polars is optional in
+    this environment, so its path is duck-typed (``rename`` with a
+    positional mapping), never imported."""
+    if isinstance(df, DataFrame):
+        return df.toDF(*_normalized_names(df.columns))
+    new_names = _normalized_names(getattr(df, "columns", []))
+    mapping = dict(zip(list(df.columns), new_names))
+    try:
+        return df.rename(columns=mapping)       # pandas signature
+    except TypeError:
+        return df.rename(mapping)               # polars signature

@@ -116,6 +116,22 @@ def test_normalize_columns(spark):
         normalize_columns(clash)
 
 
+def test_normalize_columns_pandas_interop():
+    """The reference injects .normalize into pandas AND polars frames
+    (df_manipulation.py:103-114); the engine's dispatch covers non-Spark
+    frames driver-side with the same rules and guards."""
+    import pandas as pd
+    from rockefeller_spark.normalize import normalize_columns
+    pdf = pd.DataFrame({"Stock Splits": [1], "  Op. Margin (%) ": [2.0]})
+    out = normalize_columns(pdf)
+    assert list(out.columns) == ["stock_splits", "op_margin"]
+    assert list(pdf.columns) == ["Stock Splits", "  Op. Margin (%) "]  # no mutation
+    with pytest.raises(ValueError):
+        normalize_columns(pd.DataFrame())
+    with pytest.raises(ValueError):
+        normalize_columns(pd.DataFrame({"a b": [1], "A_B": [2]}))
+
+
 def test_expire_snapshots_gc(spark, table):
     """After expiry: current reads work, retained time travel works,
     expired time travel raises cleanly, unreferenced data files and
