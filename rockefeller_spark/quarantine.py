@@ -81,6 +81,18 @@ def split_quarantine_observed(
     return valid, bad, obs
 
 
+def observed_bad_count(obs: Observation) -> int | None:
+    """``obs.get["n_bad"]``, tolerating a vanished metrics row. When the
+    batch is empty the optimizer can collapse the observed subtree to an
+    empty relation — the CollectMetrics node goes with it and ``get``
+    raises instead of answering. ``None`` means "unknown: pay the scan",
+    which on the empty batch that triggers this is free anyway."""
+    try:
+        return obs.get["n_bad"]
+    except Exception:
+        return None
+
+
 # engine columns the quarantine writer attaches; stripped before re-drive
 _QUARANTINE_META = ["_reason", "quarantined_at", "_stream_id", "_epoch"]
 

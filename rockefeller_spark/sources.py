@@ -47,12 +47,15 @@ class Source(Protocol):
     """Anything the apply/stream machinery can ingest from."""
 
     def read_batch(self, spark: SparkSession, *,
-                   since_lsn: int | None = None) -> DataFrame:
+                   since_lsn: int | None = None,
+                   max_lsn: int | None = None) -> DataFrame:
         """Bounded read of change events; ``since_lsn`` asks only for
         events with ``lsn > since_lsn`` (the applied-LSN high-water mark
-        — incremental catch-up). Sources that can push the predicate to
-        the store MUST (a JDBC subquery, a parquet filter); others may
-        filter post-read."""
+        — incremental catch-up), ``max_lsn`` caps the read at
+        ``lsn <= max_lsn`` (the chunked-catch-up span bound —
+        :func:`rockefeller_spark.catchup.catch_up`). Sources that can
+        push the predicates to the store MUST (a JDBC subquery, a
+        parquet filter); others may filter post-read."""
         ...
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
@@ -75,7 +78,8 @@ class FileSource:
         return self.schema or S.CHANGE_EVENT_SCHEMA
 
     def read_batch(self, spark: SparkSession, *,
-                   since_lsn: int | None = None) -> DataFrame:
+                   since_lsn: int | None = None,
+                   max_lsn: int | None = None) -> DataFrame:
         reader = spark.read.format(self.format).schema(self._schema())
         for k, v in self.options.items():
             reader = reader.option(k, v)
@@ -83,6 +87,8 @@ class FileSource:
         if since_lsn is not None:
             # pushed to the parquet scan (footer stats prune row groups)
             df = df.filter(F.col("lsn") > F.lit(int(since_lsn)))
+        if max_lsn is not None:
+            df = df.filter(F.col("lsn") <= F.lit(int(max_lsn)))
         return df
 
     def read_stream(self, spark: SparkSession, *,
@@ -107,13 +113,16 @@ class GeneratorSource:
     kwargs: dict[str, Any] = field(default_factory=dict)
 
     def read_batch(self, spark: SparkSession, *,
-                   since_lsn: int | None = None) -> DataFrame:
+                   since_lsn: int | None = None,
+                   max_lsn: int | None = None) -> DataFrame:
         from rockefeller_spark import gen
         df = gen.gen_change_events(spark, n_events=self.n_events,
                                    n_convs=self.n_convs, seed=self.seed,
                                    **self.kwargs)
         if since_lsn is not None:
             df = df.filter(F.col("lsn") > F.lit(int(since_lsn)))
+        if max_lsn is not None:
+            df = df.filter(F.col("lsn") <= F.lit(int(max_lsn)))
         return df
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
@@ -155,16 +164,22 @@ class JdbcSource:
     backoff_s: float = 1.0
     options: dict[str, str] = field(default_factory=dict)
 
-    def reader_options(self, since_lsn: int | None = None) -> dict[str, str]:
+    def reader_options(self, since_lsn: int | None = None,
+                       max_lsn: int | None = None) -> dict[str, str]:
         """The exact option map handed to ``spark.read.format("jdbc")``."""
+        preds = []
         if since_lsn is not None:
+            preds.append(f"{self.partition_column} > {int(since_lsn)}")
+        if max_lsn is not None:
+            preds.append(f"{self.partition_column} <= {int(max_lsn)}")
+        if preds:
             dbtable = (f"(SELECT * FROM {self.table} "
-                       f"WHERE {self.partition_column} > {int(since_lsn)}) "
-                       f"AS rk_src")
-            lower = max(self.lower_bound, int(since_lsn) + 1)
+                       f"WHERE {' AND '.join(preds)}) AS rk_src")
         else:
             dbtable = self.table
-            lower = self.lower_bound
+        lower = self.lower_bound
+        if since_lsn is not None:
+            lower = max(lower, int(since_lsn) + 1)
         opts: dict[str, str] = {
             "url": self.url,
             "dbtable": dbtable,
@@ -173,8 +188,11 @@ class JdbcSource:
             "numPartitions": str(self.num_partitions),
             "lowerBound": str(lower),
         }
-        if self.upper_bound is not None:
-            opts["upperBound"] = str(self.upper_bound)
+        # a span-bounded read (catch_up chunk) carries its own exact
+        # upper bound — the bounds-discovery round-trip is unnecessary
+        upper = max_lsn if max_lsn is not None else self.upper_bound
+        if upper is not None:
+            opts["upperBound"] = str(upper)
         if self.user is not None:
             opts["user"] = self.user
         if self.password is not None:
@@ -183,9 +201,10 @@ class JdbcSource:
         return opts
 
     def read_batch(self, spark: SparkSession, *,
-                   since_lsn: int | None = None) -> DataFrame:
-        opts = self.reader_options(since_lsn)
-        if self.upper_bound is None:
+                   since_lsn: int | None = None,
+                   max_lsn: int | None = None) -> DataFrame:
+        opts = self.reader_options(since_lsn, max_lsn)
+        if "upperBound" not in opts:
             # a real deployment fills bounds with one scalar round-trip
             # (SELECT max(lsn)); bounds-less partitioned reads are refused
             # rather than silently single-partition

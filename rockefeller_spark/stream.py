@@ -41,7 +41,8 @@ from rockefeller_spark.maintenance import CompactionPolicy, maintain
 from rockefeller_spark.sources import FileSource
 from rockefeller_spark.merge import apply_batch
 from rockefeller_spark.metrics import MetricsLog
-from rockefeller_spark.quarantine import split_quarantine_observed
+from rockefeller_spark.quarantine import (observed_bad_count,
+                                          split_quarantine_observed)
 
 
 def stream_id_for(checkpoint_dir: str) -> str:
@@ -112,7 +113,8 @@ def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
         # the batch before the checkpoint advances, and the replay is safe
         # because apply is epoch-gated + LWW-idempotent.
         t_quar = 0.0
-        n_bad = None if res.events_in is None else qobs.get["n_bad"]
+        n_bad = (None if res.events_in is None
+                 else observed_bad_count(qobs))
         if n_bad is None or n_bad:
             _t = time.time()
             (bad.withColumn("_stream_id", F.lit(stream_id))

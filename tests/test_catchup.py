@@ -1,0 +1,199 @@
+"""Chunked catch-up with the degrading request ladder (catchup.py).
+
+Reference parity: the collector shrinks the requested window when the
+remote fails a large request (``/root/reference/scripts/collector.py:
+222-233``, period 5y → 1y → 5d); ``catch_up`` reproduces that over the
+Source protocol and bounds a restarted ingest's working set by walking
+the LSN axis in spans — per-chunk durable progress, resume from table
+metadata alone."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import pytest
+from pyspark.sql import functions as F
+
+from rockefeller_spark import gen
+from rockefeller_spark.catchup import SourceReadError, catch_up
+from rockefeller_spark.lake import LakeTable
+from rockefeller_spark.merge import apply_batch, read_state
+from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
+from rockefeller_spark.sources import FileSource, GeneratorSource
+
+
+@dataclass
+class FlakySource:
+    """Transport-failure fake: ``max_span`` simulates a server that times
+    out scans wider than it can serve (what the reference's 5y request
+    hits); ``fail_first`` simulates an outage window hitting any call."""
+
+    inner: Any
+    max_span: int | None = None
+    fail_first: int = 0
+    calls: int = 0
+    ok_spans: list = field(default_factory=list)
+
+    def read_batch(self, spark, *, since_lsn=None, max_lsn=None):
+        self.calls += 1
+        if self.calls <= self.fail_first:
+            raise TimeoutError("transient outage")
+        if (self.max_span is not None and max_lsn is not None
+                and since_lsn is not None
+                and max_lsn - since_lsn > self.max_span):
+            raise TimeoutError(f"scan too large ({max_lsn - since_lsn} lsns)")
+        self.ok_spans.append(None if max_lsn is None
+                             else max_lsn - (since_lsn or 0))
+        return self.inner.read_batch(spark, since_lsn=since_lsn,
+                                     max_lsn=max_lsn)
+
+    def read_stream(self, spark):
+        raise NotImplementedError
+
+
+def _mk_table(spark, tmp_path, name="cu"):
+    return LakeTable.create(spark, str(tmp_path / name),
+                            STORED_TRANSCRIPT_SCHEMA, n_buckets=8)
+
+
+def _state(table):
+    # read_state strips engine columns (_lsn): compare full visible rows —
+    # LWW means text/role/tool pin which writer won, so this is as strong
+    df = read_state(table)
+    return sorted(tuple(r) for r in
+                  df.select(*sorted(df.columns)).collect())
+
+
+N, CONVS, SEED = 20_000, 60, 977
+
+
+@pytest.fixture(scope="module")
+def oneshot_state(spark, tmp_path_factory):
+    """Oracle: the same events applied as ONE batch."""
+    t = _mk_table(spark, tmp_path_factory.mktemp("oneshot"), "one")
+    ev = gen.gen_change_events(spark, n_events=N, n_convs=CONVS, seed=SEED)
+    apply_batch(t, ev, stream_id="one", epoch=0)
+    return _state(t)
+
+
+def test_chunked_catch_up_matches_one_shot(spark, tmp_path, oneshot_state):
+    t = _mk_table(spark, tmp_path)
+    src = GeneratorSource(n_events=N, n_convs=CONVS, seed=SEED)
+    res = catch_up(spark, src, t, "cu", chunk_lsns=3000)
+    assert res.chunks_committed >= 6              # actually walked in spans
+    assert res.degradations == 0 and res.failures == 0
+    assert _state(t) == oneshot_state
+    # per-chunk durability: each chunk is its own epoch-gated commit
+    assert t.current().committed_epochs["cu"] == res.chunks_committed - 1
+    assert res.events == N
+    # a second walk over a drained source commits nothing (resume no-op)
+    res2 = catch_up(spark, src, t, "cu", chunk_lsns=3000)
+    assert res2.chunks_committed == 0 and res2.events == 0
+    assert _state(t) == oneshot_state
+
+
+def test_degrading_ladder_finds_servable_span(spark, tmp_path, oneshot_state):
+    t = _mk_table(spark, tmp_path)
+    src = FlakySource(GeneratorSource(n_events=N, n_convs=CONVS, seed=SEED),
+                      max_span=800)
+    res = catch_up(spark, src, t, "cu", chunk_lsns=20_000,
+                   min_chunk_lsns=250, ladder_factor=5)
+    # 20000 -> 4000 -> 800: two ladder steps before the first chunk lands
+    assert res.degradations >= 2
+    assert res.failures >= res.degradations
+    # every read the server accepted was within its limit
+    assert all(s is None or s <= 800 for s in src.ok_spans)
+    assert _state(t) == oneshot_state
+
+
+def test_transient_outage_absorbed(spark, tmp_path, oneshot_state):
+    t = _mk_table(spark, tmp_path)
+    src = FlakySource(GeneratorSource(n_events=N, n_convs=CONVS, seed=SEED),
+                      fail_first=3)
+    res = catch_up(spark, src, t, "cu", chunk_lsns=6000, read_retries=6)
+    assert res.failures == 3
+    assert _state(t) == oneshot_state
+
+
+def test_persistent_failure_raises_then_resume_completes(
+        spark, tmp_path, oneshot_state):
+    t = _mk_table(spark, tmp_path)
+    # the floor span is still wider than the server serves: the ladder
+    # bottoms out and the walk raises instead of spinning forever
+    src = FlakySource(GeneratorSource(n_events=N, n_convs=CONVS, seed=SEED),
+                      max_span=100)
+    with pytest.raises(SourceReadError):
+        catch_up(spark, src, t, "cu", chunk_lsns=10_000,
+                 min_chunk_lsns=1000, read_retries=4)
+    # recovery run (healthy transport) RESUMES from table metadata alone
+    res = catch_up(spark, GeneratorSource(n_events=N, n_convs=CONVS,
+                                          seed=SEED), t, "cu",
+                   chunk_lsns=5000)
+    assert res.chunks_committed >= 1
+    assert _state(t) == oneshot_state
+
+
+def test_partial_walk_resumes_without_rereading(spark, tmp_path,
+                                                oneshot_state):
+    t = _mk_table(spark, tmp_path)
+    src = GeneratorSource(n_events=N, n_convs=CONVS, seed=SEED)
+    res1 = catch_up(spark, src, t, "cu", chunk_lsns=3000, max_chunks=2)
+    assert res1.chunks_committed == 2
+    hwm_after_1 = t.stats()["max_lsn"]
+    res2 = catch_up(spark, src, t, "cu", chunk_lsns=3000)
+    # resumed beyond the committed HWM, from the NEXT epoch
+    assert res2.snapshots[0] > res1.snapshots[-1]
+    assert t.current().committed_epochs["cu"] == (res1.chunks_committed +
+                                                  res2.chunks_committed - 1)
+    assert res2.events + res1.events >= N  # >= : HWM re-read overlap is ok
+    assert hwm_after_1 is not None
+    assert _state(t) == oneshot_state
+
+
+def test_sparse_lsn_gap_is_walked_not_mistaken_for_drain(spark, tmp_path):
+    # WAL holds lsn <= 2000 and lsn > 18000 only: the bounded chunks in
+    # between come back empty, and the LIMIT-1 probe must distinguish
+    # "gap, keep walking" from "backlog drained"
+    ev = gen.gen_change_events(spark, n_events=N, n_convs=CONVS, seed=SEED)
+    wal = str(tmp_path / "wal")
+    ev.filter((F.col("lsn") <= 2000) | (F.col("lsn") > 18_000)) \
+      .write.parquet(wal)
+    t = _mk_table(spark, tmp_path)
+    res = catch_up(spark, FileSource(wal), t, "cu", chunk_lsns=1000)
+    assert res.chunks_read > res.chunks_committed  # empty gap spans read
+    got = {r[0] for r in t.read().select("_lsn").collect()}
+    assert got and all(l <= 2000 or l > 18_000 for l in got)
+    # everything present in the WAL landed
+    t2 = _mk_table(spark, tmp_path, "one")
+    apply_batch(t2, spark.read.parquet(wal), stream_id="o", epoch=0)
+    assert _state(t) == _state(t2)
+
+
+def test_catch_up_quarantines_bad_rows(spark, tmp_path):
+    """A malformed row in the backlog must not abort the walk: with
+    ``quarantine_dir`` set, catch_up routes it through the same gated
+    dead-letter split the streaming path uses."""
+    ev = gen.gen_change_events(spark, n_events=5000, n_convs=20, seed=31)
+    bad = ev.limit(3).withColumn("conv_id", F.lit(None).cast("string"))
+    wal = str(tmp_path / "wal")
+    ev.unionByName(bad).write.parquet(wal)
+    t = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "q")
+    res = catch_up(spark, FileSource(wal), t, "cu", chunk_lsns=2000,
+                   quarantine_dir=qdir)
+    assert res.chunks_committed >= 2
+    assert spark.read.parquet(qdir + "/*").count() == 3
+    assert read_state(t).count() > 0
+
+
+def test_jdbc_span_bound_reaches_the_subquery():
+    from rockefeller_spark.sources import JdbcSource
+    src = JdbcSource("jdbc:postgresql://db/cdc", "wal", num_partitions=8)
+    opts = src.reader_options(since_lsn=100, max_lsn=4100)
+    assert "lsn > 100" in opts["dbtable"]
+    assert "lsn <= 4100" in opts["dbtable"]
+    # the chunk bound doubles as the partitioning upper bound: no extra
+    # bounds-discovery round-trip for a span-bounded read
+    assert opts["upperBound"] == "4100"
+    assert opts["lowerBound"] == "101"
