@@ -162,6 +162,52 @@ def bench_trickle(spark, base_events: int = 10_000_000,
     return out
 
 
+def bench_catchup(spark, n_events: int = 10_000_000, n_chunks: int = 8,
+                  n_buckets: int = 256) -> dict:
+    """Post-outage backlog drain: chunked catch-up (bounded spans, per-
+    chunk commits — the shape a 10^10-event backlog REQUIRES) vs the
+    one-shot apply of the same WAL (the fastest possible single commit,
+    unusable at real backlog sizes). The ratio is the price of bounded
+    working sets + durable per-chunk progress."""
+    from rockefeller_spark.catchup import catch_up
+    from rockefeller_spark.sources import FileSource
+    work = tempfile.mkdtemp(prefix="rk-catchup-")
+    ev = gen.gen_change_events(spark, n_events=n_events,
+                               n_convs=max(1000, n_events // 200),
+                               max_turns=50, seed=47, num_partitions=32)
+    wal = os.path.join(work, "wal")
+    # a real WAL is LSN-sequential on disk (binlog segments): range-laid
+    # files let each bounded chunk read prune to its segments via footer
+    # stats instead of rescanning the whole backlog per chunk
+    (ev.repartitionByRange(32, "lsn").sortWithinPartitions("lsn")
+       .write.mode("overwrite").parquet(wal))
+
+    out: dict = {"n_events": n_events, "n_chunks": n_chunks}
+    tdir = os.path.join(work, "t-oneshot")
+    table = LakeTable.create(spark, tdir, STORED_TRANSCRIPT_SCHEMA,
+                             n_buckets=n_buckets)
+    t0 = time.time()
+    apply_batch(table, spark.read.parquet(wal), collect_metrics=False,
+                mode="mor")
+    out["oneshot_sec"] = round(time.time() - t0, 3)
+    shutil.rmtree(tdir, ignore_errors=True)
+
+    tdir = os.path.join(work, "t-chunked")
+    table = LakeTable.create(spark, tdir, STORED_TRANSCRIPT_SCHEMA,
+                             n_buckets=n_buckets)
+    t0 = time.time()
+    res = catch_up(spark, FileSource(wal), table, "bench",
+                   chunk_lsns=n_events // n_chunks, mode="mor")
+    out["chunked_sec"] = round(time.time() - t0, 3)
+    out["chunks_committed"] = res.chunks_committed
+    out["events_per_sec"] = round(res.events / max(out["chunked_sec"], 1e-9), 1)
+    out["chunking_overhead_x"] = round(out["chunked_sec"]
+                                       / max(out["oneshot_sec"], 1e-9), 2)
+    out["walls"] = res.walls
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def _stream_breakdown(batch_timings: list, wall: float) -> dict:
     """Aggregate the per-micro-batch phase walls (stream.make_batch_applier
     timings) into the stream leg's fixed-cost table: how much of the drain
@@ -642,6 +688,10 @@ def main() -> None:
         feed = bench_feed_trickle(spark,
                                   base_events=max(n_events // 5, 500_000),
                                   n_buckets=n_buckets)
+    catchup = None
+    if os.environ.get("BENCH_CATCHUP", "1") == "1" and not apply_only:
+        catchup = bench_catchup(spark, n_events=max(n_events // 5, 500_000),
+                                n_buckets=n_buckets)
 
     queries: dict[str, float] = {"cdc_apply_stream": cdc["apply_sec"]}
     if cdc_mor is not None:
@@ -678,6 +728,7 @@ def main() -> None:
         "read_side": reads,
         "compact": compact,
         "feed_trickle": feed,
+        "catchup": catchup,
     }
     detail_file = os.environ.get(
         "BENCH_DETAIL_FILE",
@@ -716,6 +767,9 @@ def main() -> None:
         summary["compact_sorted_sec"] = compact["compact_sorted_sec"]
     if feed is not None:
         summary["feed_pruning_speedup"] = feed["pruning_speedup"]
+    if catchup is not None:
+        summary["catchup_events_per_sec"] = catchup["events_per_sec"]
+        summary["catchup_overhead_x"] = catchup["chunking_overhead_x"]
     out = {
         "metric": detail["metric"],
         "value": total,

@@ -84,6 +84,48 @@ def _read_bounded(source: Source, spark: SparkSession,
             .filter(F.col("lsn") <= F.lit(int(max_lsn))))
 
 
+def recorded_base_lsn(table) -> int | None:
+    """The WAL position the table was bootstrapped at, from the bootstrap
+    commit's lineage (newest bootstrap wins — a re-onboarded table records
+    the latest). ``None`` when no retained snapshot is a bootstrap."""
+    for snap in reversed(table.history()):
+        if snap.lineage.get("op") == "bootstrap":
+            lsn = snap.lineage.get("base_lsn")
+            return None if lsn is None else int(lsn)
+    return None
+
+
+def onboard(spark: SparkSession, base, base_lsn: int, source: Source,
+            table, stream_id: str, **catch_up_kwargs) -> CatchUpResult:
+    """The CDC onboarding flow: initial snapshot load, then chunked
+    catch-up over the backlog that accumulated while the snapshot was
+    taken/loaded — after which the caller hands the source to the
+    streaming tail (:func:`rockefeller_spark.stream.run_stream`).
+
+    ``base`` is the consistent snapshot DataFrame, ``base_lsn`` the WAL
+    position it reflects (the Debezium snapshot-at-binlog-position
+    contract). Base rows are stamped ``_lsn = base_lsn``, which makes the
+    handoff stateless: the table's own ``stats()["max_lsn"]`` IS the
+    resume point, so :func:`catch_up` starts exactly at the snapshot
+    position — and a crash anywhere in the walk resumes from committed
+    metadata alone. Pre-snapshot events replayed by an overshooting
+    at-least-once source lose LWW against the base rows instead of
+    clobbering them; a full-prefix replay (the whole WAL from LSN 0)
+    converges to the same state. The one shape that cannot be repaired
+    is the classic snapshot-onboarding caveat: a snapshot carries no
+    tombstones, so a PARTIAL pre-snapshot replay that includes an insert
+    but not the later delete would resurrect the key — which is exactly
+    why catch_up never reads below the recorded position.
+
+    Idempotent: re-running onboard on a table that already holds a
+    bootstrap at the same position just re-walks the (empty) backlog —
+    the epoch gate and LWW make duplicate applies no-ops."""
+    if recorded_base_lsn(table) != base_lsn:
+        from rockefeller_spark.merge import bootstrap
+        bootstrap(table, base, base_lsn=base_lsn)
+    return catch_up(spark, source, table, stream_id, **catch_up_kwargs)
+
+
 def catch_up(spark: SparkSession, source: Source, table,
              stream_id: str, *,
              chunk_lsns: int = 1_000_000,

@@ -559,10 +559,26 @@ def read_state(table: LakeTable, snapshot_id: int | None = None,
     return df.filter(~F.col("_deleted")).select(*user_cols)
 
 
-def bootstrap(table: LakeTable, base: DataFrame, *, write_salt: int = 4) -> Snapshot:
-    """Load an initial transcript table as stored rows with _lsn = -1
-    (every change event outranks base rows)."""
+def bootstrap(table: LakeTable, base: DataFrame, *, write_salt: int = 4,
+              base_lsn: int = -1) -> Snapshot:
+    """Load an initial transcript table as stored rows.
+
+    ``base_lsn`` is the WAL position the snapshot is consistent WITH (the
+    Debezium "snapshot at binlog position" contract): base rows are
+    stamped ``_lsn = base_lsn`` so only events NEWER than the snapshot
+    outrank them — a replay that re-reads pre-snapshot events (an operator
+    resuming catch-up from LSN 0, an at-least-once source overshooting
+    backwards) converges to the same state instead of letting stale
+    events clobber newer base rows. Events AT ``base_lsn`` tie with the
+    base row; the snapshot already reflects them, so either winner is the
+    same visible row. The default ``-1`` keeps the old semantics (every
+    event outranks base rows) for sources that deliver strictly
+    post-snapshot events. The position is recorded in the commit's
+    lineage so a crash between bootstrap and the first catch-up chunk can
+    recover it (:func:`rockefeller_spark.catchup.recorded_base_lsn`)."""
     stored = (base
-              .withColumn("_lsn", F.lit(-1).cast("long"))
+              .withColumn("_lsn", F.lit(int(base_lsn)).cast("long"))
               .withColumn("_deleted", F.lit(False)))
-    return table.append(stored, write_salt=write_salt)
+    return table.append(stored, write_salt=write_salt,
+                        lineage={"op": "bootstrap",
+                                 "base_lsn": int(base_lsn)})

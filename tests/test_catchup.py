@@ -35,8 +35,11 @@ class FlakySource:
     calls: int = 0
     ok_spans: list = field(default_factory=list)
 
+    seen: list = field(default_factory=list)   # (since_lsn, max_lsn) asked
+
     def read_batch(self, spark, *, since_lsn=None, max_lsn=None):
         self.calls += 1
+        self.seen.append((since_lsn, max_lsn))
         if self.calls <= self.fail_first:
             raise TimeoutError("transient outage")
         if (self.max_span is not None and max_lsn is not None
@@ -185,6 +188,61 @@ def test_catch_up_quarantines_bad_rows(spark, tmp_path):
     assert res.chunks_committed >= 2
     assert spark.read.parquet(qdir + "/*").count() == 3
     assert read_state(t).count() > 0
+
+
+SNAP_LSN = 8000   # the onboarding tests' snapshot-at-WAL-position
+
+
+@pytest.fixture(scope="module")
+def snapshot_base(spark):
+    """A consistent snapshot of the source at SNAP_LSN: the oracle replay
+    of every event up to it (what a real initial load would SELECT)."""
+    import pyspark.sql.types as T
+
+    from rockefeller_spark import schema as S
+    from rockefeller_spark.oracle import replay
+    ev = gen.gen_change_events(spark, n_events=N, n_convs=CONVS, seed=SEED)
+    pdf = replay(ev.filter(F.col("lsn") <= SNAP_LSN).toPandas())
+    user = T.StructType([f for f in STORED_TRANSCRIPT_SCHEMA.fields
+                         if f.name not in S.META_COLS])
+    return spark.createDataFrame(pdf[[f.name for f in user.fields]], user)
+
+
+def test_onboard_resumes_at_snapshot_position(spark, tmp_path,
+                                              snapshot_base, oneshot_state):
+    from rockefeller_spark.catchup import onboard, recorded_base_lsn
+    t = _mk_table(spark, tmp_path)
+    src = FlakySource(GeneratorSource(n_events=N, n_convs=CONVS, seed=SEED))
+    res = onboard(spark, snapshot_base, SNAP_LSN, src, t, "cu",
+                  chunk_lsns=4000)
+    # the walk started AT the snapshot position — nothing below re-read
+    assert src.seen[0][0] == SNAP_LSN
+    assert all(s is None or s >= SNAP_LSN for s, _ in src.seen)
+    assert recorded_base_lsn(t) == SNAP_LSN
+    # snapshot + post-position catch-up == replaying the whole WAL
+    assert _state(t) == oneshot_state
+    # re-running onboard is a no-op: same bootstrap, drained backlog
+    res2 = onboard(spark, snapshot_base, SNAP_LSN, src, t, "cu",
+                   chunk_lsns=4000)
+    assert res2.chunks_committed == 0
+    assert _state(t) == oneshot_state
+    assert res.chunks_committed >= 1
+
+
+def test_full_prefix_replay_converges_over_bootstrap(spark, tmp_path,
+                                                     snapshot_base,
+                                                     oneshot_state):
+    """An at-least-once source that overshoots all the way back to LSN 0:
+    pre-snapshot events lose LWW against the base rows (stamped at the
+    snapshot position) and the later events still win — the full replay
+    converges instead of letting stale events clobber newer base rows."""
+    from rockefeller_spark.merge import bootstrap
+    t = _mk_table(spark, tmp_path)
+    bootstrap(t, snapshot_base, base_lsn=SNAP_LSN)
+    assert t.stats()["max_lsn"] == SNAP_LSN   # the stateless resume point
+    ev = gen.gen_change_events(spark, n_events=N, n_convs=CONVS, seed=SEED)
+    apply_batch(t, ev, stream_id="replay", epoch=0)
+    assert _state(t) == oneshot_state
 
 
 def test_jdbc_span_bound_reaches_the_subquery():
