@@ -266,7 +266,14 @@ def bench_stream(spark, n_events: int = 16_000_000, n_segments: int = 8,
 
     work = tempfile.mkdtemp(prefix="rk-stream-")
     source = os.path.join(work, "wal")
-    files_per_seg = 6
+    # enough WAL files per trigger to FILL the executor: a micro-batch's
+    # scan/map side is bounded by its file count (64 MB parquet files
+    # don't split under maxPartitionBytes), so 6 files on 8+ cores leaves
+    # the map stage under-filled and the 2→8 stream pair reads as an
+    # engine scaling gap when it's harness layout (measured: stage-only
+    # 0.59 at 6 files/trigger). A real deployment's trigger covers many
+    # WAL segments; mirror that by scaling files with cores.
+    files_per_seg = max(6, spark.sparkContext.defaultParallelism)
     ev = gen.gen_change_events(spark, n_events=n_events,
                                n_convs=max(1000, n_events // 200),
                                max_turns=50, seed=48,
