@@ -10,6 +10,10 @@ audit the ingested log for holes.
   files are immutable, so a bucket whose file set is identical in both
   snapshots cannot have changed and is never read. The only data work is
   a key-join over the changed buckets' states.
+- :class:`FeedCursor` — durable consumer-group offsets over the feed
+  (the Kafka-consumer-group analog over snapshots): CAS-acked positions
+  via the table's own commit backend, multi-worker safe, stale-cursor
+  detection against snapshot retention.
 - :func:`lsn_gaps` — missing-LSN ranges in an event log (the data-loss
   alarm for an at-least-once WAL tail). Block-partitioned so no single
   task ever sorts the whole log: in-block gaps come from a bounded
@@ -21,6 +25,9 @@ the standard operators a lake exposes downstream.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -120,6 +127,146 @@ def changes_since(table: LakeTable,
         last_snapshot_id = table.snapshot_as_of(timestamp).snapshot_id
     current = table.current_version()
     return changes_between(table, last_snapshot_id, current), current
+
+
+class StaleCursorError(RuntimeError):
+    """The cursor's acked snapshot has been expired by retention: the
+    incremental feed from it no longer exists. Re-base the consumer
+    (full sync from ``read_state`` + :meth:`FeedCursor.reset`)."""
+
+
+class CursorConflictError(RuntimeError):
+    """Another worker of the same consumer group acked a DIFFERENT
+    window at this sequence — re-poll from the advanced position."""
+
+
+class FeedCursor:
+    """Durable consumer-group offsets over the change feed — transactional
+    position advancement for downstream consumers (index builders, derived
+    tables, cache invalidation), the Kafka-consumer-group analog over
+    snapshots.
+
+    :func:`changes_since` leaves the position with the caller; this class
+    makes it DURABLE and MULTI-WORKER SAFE by reusing the table's own
+    commit primitives (``backends.CommitBackend``): each ack is a
+    conditional PUT of an immutable state object (``c-{seq}.json``) —
+    exactly one worker of a group can win a sequence number — followed by
+    a monotonic pointer advance, the same two-step the table's snapshot
+    publish uses, with the same crash recovery (an ack that crashed
+    between PUT and pointer is completed by the next ack's idempotent
+    re-adopt). Works unchanged on both the POSIX and the conditional-PUT
+    object-store backend.
+
+    Delivery contract: offsets advance transactionally; the window
+    between ``poll`` and ``ack`` replays after a crash, so processing
+    must be idempotent or transactional with its sink — the standard
+    offsets-based contract. A cursor whose position fell behind snapshot
+    retention raises :class:`StaleCursorError` (re-base via ``reset``).
+    Cursor state is O(1) per group regardless of table size; polling
+    cost is the metadata-pruned :func:`changes_between`.
+    """
+
+    def __init__(self, table: LakeTable, consumer_id: str):
+        if "/" in consumer_id or not consumer_id:
+            raise ValueError(f"bad consumer_id {consumer_id!r}")
+        self.table = table
+        self.consumer_id = consumer_id
+        self._dir = os.path.join("metadata", "cursors", consumer_id)
+        os.makedirs(os.path.join(table.path, self._dir), exist_ok=True)
+        self._head = os.path.join(self._dir, "HEAD")
+
+    # -- state ---------------------------------------------------------
+    def _state_rel(self, seq: int) -> str:
+        return os.path.join(self._dir, f"c-{seq:08d}.json")
+
+    def _read_seq(self) -> int:
+        try:
+            return self.table.backend.read_pointer(self._head)
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def position(self) -> int | None:
+        """The last ACKED snapshot id, or None for a new consumer. Reads
+        past the pointer first: an ack that crashed after its conditional
+        PUT but before the pointer advance is still the group's latest
+        state (the PUT is the commit point, the pointer is a hint — the
+        exact recovery rule the table's own publish uses)."""
+        seq = self._read_seq()
+        probe = seq + 1
+        if self.table.backend.exists(self._state_rel(probe)):
+            self.table.backend.advance_pointer(self._head, probe)  # repair
+            seq = probe
+        if seq < 0:
+            return None
+        state = json.loads(self.table.backend.read(self._state_rel(seq)))
+        return int(state["snapshot_id"])
+
+    # -- consumption -----------------------------------------------------
+    def poll(self, *, start_at: str = "current"
+             ) -> "tuple[DataFrame | None, dict | None]":
+        """The unconsumed change window and its ack token, or
+        ``(None, None)`` when the consumer is up to date.
+
+        A NEW consumer's base position is ``start_at``: ``"current"``
+        (consume only future changes) or ``"oldest"`` (the oldest
+        retained snapshot — everything retention still holds). Onboarding
+        order for ``"current"``: establish the base FIRST (this call),
+        then full-sync from exactly that snapshot
+        (``read_state(table, snapshot_id=cursor.position())``) — syncing
+        before the base ack would lose whatever lands in between."""
+        cur = self.table.current_version()
+        pos = self.position()
+        if pos is None:
+            if start_at == "current":
+                self.ack({"from": None, "snapshot_id": cur,
+                          "seq": self._read_seq() + 1})
+                return None, None
+            if start_at != "oldest":
+                raise ValueError(f"start_at={start_at!r}")
+            pos = self.table.history()[0].snapshot_id
+        if pos >= cur:
+            return None, None
+        try:
+            self.table.snapshot(pos)
+        except Exception as e:
+            raise StaleCursorError(
+                f"cursor {self.consumer_id!r} at v{pos}, which retention "
+                f"expired — full re-sync + reset() required") from e
+        df = changes_between(self.table, pos, cur)
+        return df, {"from": pos, "snapshot_id": cur,
+                    "seq": self._read_seq() + 1}
+
+    def ack(self, token: dict) -> None:
+        """Advance the group position to ``token`` — atomic, exactly one
+        winner per sequence. A replayed ack of the SAME window is
+        adopted idempotently; a competing ack of a different window
+        raises :class:`CursorConflictError`."""
+        seq = int(token["seq"])
+        blob = json.dumps({"snapshot_id": token["snapshot_id"],
+                           "from": token.get("from"),
+                           "consumer": self.consumer_id}).encode()
+        try:
+            self.table.backend.put_if_absent(self._state_rel(seq), blob)
+        except FileExistsError:
+            existing = json.loads(
+                self.table.backend.read(self._state_rel(seq)))
+            if existing.get("snapshot_id") != token["snapshot_id"]:
+                raise CursorConflictError(
+                    f"seq {seq} already acked at "
+                    f"v{existing.get('snapshot_id')} (this worker wanted "
+                    f"v{token['snapshot_id']}) — re-poll") from None
+            # same window: idempotent re-ack (crash between PUT+pointer)
+        self.table.backend.advance_pointer(self._head, seq)
+
+    def reset(self, snapshot_id: int | None = None) -> None:
+        """Re-base a stale/new cursor at ``snapshot_id`` (default: the
+        table's current snapshot) — pair with the consumer's full
+        re-sync. Runs through the same CAS ack path, so concurrent
+        workers cannot silently double-reset."""
+        self.ack({"from": None,
+                  "snapshot_id": (self.table.current_version()
+                                  if snapshot_id is None else snapshot_id),
+                  "seq": self._read_seq() + 1})
 
 
 def lsn_gaps(events: DataFrame, lsn_col: str = "lsn",

@@ -194,3 +194,100 @@ def test_changes_since_cursor_loop(spark, table):
     table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
     with pytest.raises(ValueError, match="expired"):
         changes_since(table, 0)[0].count()
+
+
+# ---------------------------------------------------------------- cursors
+
+def _apply_half(spark, table, pdf, ev_schema, lo, hi, **kw):
+    from rockefeller_spark.merge import apply_batch as ab
+    ab(table, spark.createDataFrame(
+        pdf[(pdf.lsn > lo) & (pdf.lsn <= hi)], ev_schema), **kw)
+
+
+def test_feed_cursor_transactional_consumption(spark, table):
+    from rockefeller_spark.feed import (CursorConflictError, FeedCursor,
+                                        changes_between)
+    ev = gen.gen_change_events(spark, n_events=1200, n_convs=10, seed=31)
+    pdf = ev.toPandas()
+    cur = FeedCursor(table, "indexer")
+    # a NEW consumer based at current sees nothing until the table moves
+    df, tok = cur.poll()
+    assert df is None and tok is None
+    assert cur.position() == table.current_version()
+
+    _apply_half(spark, table, pdf, ev.schema, -1, 600)
+    base = cur.position()
+    df, tok = cur.poll()
+    want = changes_between(table, base, table.current_version()).toPandas()
+    assert len(df.toPandas()) == len(want) > 0
+    # window replays identically until acked (crash between poll and ack)
+    df2, tok2 = cur.poll()
+    assert tok2 == tok and df2.count() == df.count()
+    cur.ack(tok)
+    assert cur.position() == tok["snapshot_id"]
+    # idempotent re-ack of the SAME window (retry after a crash) is fine
+    cur.ack(tok)
+    # up to date now
+    assert cur.poll() == (None, None)
+
+    # second window; a COMPETING worker of the same group wins the seq
+    _apply_half(spark, table, pdf, ev.schema, 600, 1200)
+    worker_a = FeedCursor(table, "indexer")
+    worker_b = FeedCursor(table, "indexer")
+    dfa, toka = worker_a.poll()
+    dfb, tokb = worker_b.poll()
+    worker_a.ack(toka)
+    if tokb == toka:    # same window: B's ack is the idempotent replay
+        worker_b.ack(tokb)
+    assert worker_b.position() == table.current_version()
+    # a stale token for the SAME seq but different window conflicts
+    with pytest.raises(CursorConflictError):
+        worker_b.ack({"from": None, "snapshot_id": toka["snapshot_id"] - 1,
+                      "seq": toka["seq"]})
+
+    # groups are independent
+    other = FeedCursor(table, "cache-invalidator")
+    assert other.position() is None
+
+
+def test_feed_cursor_full_pipeline_converges(spark, table):
+    """Consume every window into a downstream dict; after N commits the
+    downstream equals the oracle replay (exactly-once effect with an
+    idempotent sink)."""
+    from rockefeller_spark.feed import FeedCursor
+    ev = gen.gen_change_events(spark, n_events=2000, n_convs=15, seed=37,
+                               p_delete=0.2)
+    pdf = ev.toPandas()
+    cur = FeedCursor(table, "derived")
+    cur.poll()                                   # base at empty table
+    downstream: dict = {}
+    edges = [-1, 400, 900, 1300, 2000]
+    for lo, hi in zip(edges, edges[1:]):
+        _apply_half(spark, table, pdf, ev.schema, lo, hi)
+        df, tok = cur.poll()
+        for r in df.collect():
+            k = (r["conv_id"], r["turn_idx"])
+            if r["_change"] == "delete":
+                downstream.pop(k, None)
+            else:
+                downstream[k] = r["text"]
+        cur.ack(tok)
+    want = replay(pdf)
+    assert downstream == {(r.conv_id, r.turn_idx): r.text
+                          for r in want.itertuples()}
+
+
+def test_feed_cursor_stale_after_retention(spark, table):
+    from rockefeller_spark.feed import FeedCursor, StaleCursorError
+    ev = gen.gen_change_events(spark, n_events=1500, n_convs=10, seed=41)
+    pdf = ev.toPandas()
+    cur = FeedCursor(table, "slow")
+    cur.poll()                                   # base at v0
+    for lo, hi in [(-1, 300), (300, 600), (600, 900), (900, 1200),
+                   (1200, 1500)]:
+        _apply_half(spark, table, pdf, ev.schema, lo, hi)
+    table.expire_snapshots(keep_last=2)
+    with pytest.raises(StaleCursorError):
+        cur.poll()
+    cur.reset()                                  # re-base after full sync
+    assert cur.poll() == (None, None)
