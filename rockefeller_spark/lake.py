@@ -765,7 +765,9 @@ class LakeTable:
     def current(self) -> Snapshot:
         return self.snapshot(self.current_version())
 
-    def snapshot(self, version: int) -> Snapshot:
+    def snapshot(self, version: "int | str") -> Snapshot:
+        if isinstance(version, str):
+            version = self.resolve_ref(version)
         try:
             snap = Snapshot.from_json(
                 _json_loads(self.backend.read(self._meta_rel(version))),
@@ -1110,6 +1112,20 @@ class LakeTable:
             self.backend.put_if_absent(
                 meta_rel, json.dumps(snap.to_json()).encode())
         except FileExistsError as e:
+            # The object for this version exists. Either a concurrent
+            # writer just won the race (it will advance the pointer
+            # itself), or a PAST writer crashed between its PUT and the
+            # pointer advance — in which case no pointer movement ever
+            # happens on its behalf and every future commit of this
+            # version conflicts forever: a wedged table. Complete the
+            # publish for them (the PUT is all-or-nothing, so the object
+            # is a valid snapshot; the advance is monotonic, so doing it
+            # for a live concurrent winner is an idempotent no-op). The
+            # crashed writer's caller retries its batch and the epoch
+            # ledger turns the replay into skipped=True — the designed
+            # at-least-once contract. Our own caller now rebases on the
+            # repaired, visible version instead of spinning.
+            self.backend.advance_pointer(self._HINT_REL, snap.snapshot_id)
             raise CommitConflictError(
                 f"snapshot {snap.snapshot_id} already committed") from e
         self.backend.advance_pointer(self._HINT_REL, snap.snapshot_id)
@@ -1516,12 +1532,13 @@ class LakeTable:
             return int(v.timestamp() * 1_000_000)
         return int(v)
 
-    def read(self, snapshot_id: int | None = None,
+    def read(self, snapshot_id: "int | str | None" = None,
              buckets: set[int] | None = None, *,
              as_of: "int | float | datetime | None" = None,
              ts_range: "tuple | None" = None,
              key_range: "tuple[str | None, str | None] | None" = None,
-             where: "dict[str, tuple] | None" = None) \
+             where: "dict[str, tuple] | None" = None,
+             _snap: "Snapshot | None" = None) \
             -> DataFrame:
         """Snapshot-pinned read. Old files lacking newer (evolved) columns
         are null-filled because the read uses the snapshot's full schema.
@@ -1567,7 +1584,11 @@ class LakeTable:
         bounds are stored truncated (lower-prefix / bumped-upper), which
         only ever keeps extra files, never wrongly prunes. Columns
         written before stats stamping existed are conservatively kept."""
-        if as_of is not None:
+        if _snap is not None:
+            if snapshot_id is not None or as_of is not None:
+                raise ValueError("_snap excludes snapshot_id/as_of")
+            snap = _snap
+        elif as_of is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or as_of, not both")
             snap = self.snapshot_as_of(as_of)
@@ -2022,6 +2043,303 @@ class LakeTable:
             self._write_snapshot(snap)
             return snap
 
+    # ------------------------------------------------------- refs: tags
+    _REF_DIR = os.path.join("metadata", "refs")
+    _STAGE_DIR = os.path.join("metadata", "staged")
+    _REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+    def _ref_rel(self, name: str) -> str:
+        return os.path.join(self._REF_DIR, f"t-{name}.json")
+
+    def _check_ref_name(self, name: str) -> None:
+        if not self._REF_NAME_RE.match(name or ""):
+            raise ValueError(f"bad ref name {name!r} (alnum start, then "
+                             "[A-Za-z0-9._-], max 128 chars)")
+
+    def tag(self, name: str, snapshot_id: int | None = None,
+            note: str | None = None) -> dict[str, Any]:
+        """Create an immutable named ref to a snapshot (Iceberg tag):
+        ``read("release-1")`` / ``snapshot("release-1")`` then time-travel
+        to it by name, and ``expire_snapshots`` RETAINS the tagged
+        snapshot (and its files) regardless of ``keep_last`` — the
+        audit/repro pin. Tags are create-once: re-pointing requires
+        ``drop_tag`` first, so a published name can never silently move.
+        Tag state is O(1) metadata; nothing is copied."""
+        self._check_ref_name(name)
+        sid = self.current_version() if snapshot_id is None else int(snapshot_id)
+        self.snapshot(sid)                     # must exist (not expired)
+        obj = {"name": name, "snapshot_id": sid,
+               "created_ms": int(time.time() * 1000), "note": note}
+        os.makedirs(os.path.join(self.path, self._REF_DIR), exist_ok=True)
+        try:
+            self.backend.put_if_absent(
+                self._ref_rel(name), json.dumps(obj).encode())
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists (drop_tag first; "
+                             "tags are immutable)") from None
+        return obj
+
+    def tags(self) -> dict[str, dict[str, Any]]:
+        """All tags, by name."""
+        d = os.path.join(self.path, self._REF_DIR)
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, dict[str, Any]] = {}
+        for fname in sorted(os.listdir(d)):
+            if fname.startswith("t-") and fname.endswith(".json"):
+                obj = _json_loads(self.backend.read(
+                    os.path.join(self._REF_DIR, fname)))
+                out[obj["name"]] = obj
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        self._check_ref_name(name)
+        try:
+            self.backend.delete(self._ref_rel(name))
+        except FileNotFoundError:
+            raise KeyError(f"no tag {name!r}") from None
+
+    def resolve_ref(self, name: str) -> int:
+        """Tag name -> snapshot id (``snapshot()``/``read()`` accept the
+        name directly)."""
+        self._check_ref_name(name)
+        try:
+            return int(_json_loads(
+                self.backend.read(self._ref_rel(name)))["snapshot_id"])
+        except FileNotFoundError:
+            raise KeyError(f"no tag {name!r}") from None
+
+    # ------------------------------------- write-audit-publish (staged)
+    def _stage_rel(self, wap_id: str) -> str:
+        return os.path.join(self._STAGE_DIR, f"s-{wap_id}.json")
+
+    def _staged_obj(self, wap_id: str) -> dict[str, Any]:
+        try:
+            return _json_loads(self.backend.read(self._stage_rel(wap_id)))
+        except FileNotFoundError:
+            raise KeyError(f"no staged commit {wap_id!r}") from None
+
+    def _stage_put(self, kind: str, adds: list[DataFile],
+                   touched: "list[int] | None", *, wap_id: str | None,
+                   stream_id: str | None, epoch: int | None,
+                   lineage: dict[str, Any] | None,
+                   note: str | None) -> str:
+        wap_id = wap_id or uuid.uuid4().hex[:16]
+        self._check_ref_name(wap_id)
+        base = self.current_version()
+        # vintage stamp for audit reads; publish re-stamps to the real
+        # version via commit() — identical era either way, because publish
+        # refuses when the name_log moved past the staged base
+        for f in adds:
+            f.schema_v = base + 1
+        obj = {"wap_id": wap_id, "kind": kind, "base": base,
+               "created_ms": int(time.time() * 1000),
+               "adds": [f.to_json() for f in adds],
+               "touched": touched,
+               "rows_added": sum(f.rows or 0 for f in adds),
+               "stream_id": stream_id, "epoch": epoch,
+               "lineage": lineage or {}, "note": note}
+        os.makedirs(os.path.join(self.path, self._STAGE_DIR), exist_ok=True)
+        try:
+            self.backend.put_if_absent(
+                self._stage_rel(wap_id), json.dumps(obj).encode())
+        except FileExistsError:
+            raise ValueError(f"staged commit {wap_id!r} already exists") \
+                from None
+        return wap_id
+
+    def stage_append(self, df: DataFrame, *, wap_id: str | None = None,
+                     write_salt: int = 0, stream_id: str | None = None,
+                     epoch: int | None = None,
+                     lineage: dict[str, Any] | None = None,
+                     note: str | None = None) -> str:
+        """Write-audit-publish, append shape (Iceberg stage-only commit /
+        ``spark.wap.id``): the data files are fully written and a staged
+        marker records the would-be commit, but the table's current
+        pointer DOES NOT MOVE — readers cannot see the rows. Audit via
+        :meth:`read_staged` (plus any checks — row counts, quarantine
+        rates, fsck), then :meth:`publish_staged` makes it visible
+        atomically, or :meth:`abandon_staged` discards it (files are
+        reclaimed by the orphan sweep). Staging costs exactly what the
+        write costs; audit and publish are metadata-side."""
+        snap = self.current()
+        adds = self._stage_write(df, snap.n_buckets, snap.bucket_col,
+                                 write_salt)
+        touched: "list[int] | None" = []
+        for f in adds:
+            if f.bucket is not None:
+                touched.append(f.bucket)
+            elif f.buckets is not None:
+                touched.extend(f.buckets)
+            else:
+                touched = None                 # unknown reach: publish
+                break                          # requires an unmoved table
+        if touched is not None:
+            touched = sorted(set(touched))
+        return self._stage_put("append", adds, touched, wap_id=wap_id,
+                               stream_id=stream_id, epoch=epoch,
+                               lineage=lineage, note=note)
+
+    def stage_overwrite_buckets(self, df: DataFrame, buckets: set[int], *,
+                                wap_id: str | None = None,
+                                write_salt: int = 0,
+                                stream_id: str | None = None,
+                                epoch: int | None = None,
+                                lineage: dict[str, Any] | None = None,
+                                note: str | None = None) -> str:
+        """Write-audit-publish, copy-on-write shape: stage a replacement
+        of exactly ``buckets`` (the remove set is computed AT PUBLISH
+        against the then-current snapshot, so a publish rebased over
+        disjoint-bucket commits replaces the right files)."""
+        snap = self.current()
+        adds = self._stage_write(df, snap.n_buckets, snap.bucket_col,
+                                 write_salt)
+        bad = {f.bucket for f in adds} - set(buckets)
+        if bad:
+            raise ValueError(
+                f"staged df contains untouched buckets {sorted(bad)}")
+        return self._stage_put("overwrite", adds, sorted(buckets),
+                               wap_id=wap_id, stream_id=stream_id,
+                               epoch=epoch, lineage=lineage, note=note)
+
+    def staged(self) -> dict[str, dict[str, Any]]:
+        """Pending staged commits, by wap_id (marker metadata only)."""
+        d = os.path.join(self.path, self._STAGE_DIR)
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, dict[str, Any]] = {}
+        for fname in sorted(os.listdir(d)):
+            if fname.startswith("s-") and fname.endswith(".json"):
+                obj = _json_loads(self.backend.read(
+                    os.path.join(self._STAGE_DIR, fname)))
+                out[obj["wap_id"]] = obj
+        return out
+
+    def staged_snapshot(self, wap_id: str,
+                        buckets: set[int] | None = None) -> Snapshot:
+        """The staged commit's would-be table state as a materialized
+        (unpublished) Snapshot — the audit surface. Pass ``buckets`` to
+        materialize only the covering manifest shards (the usual audit
+        reads just the staged buckets; driver cost stays O(covering
+        shards), not O(table))."""
+        st = self._staged_obj(wap_id)
+        base = self.snapshot(st["base"])
+        adds = [DataFile.from_json(d) for d in st["adds"]]
+        if st["kind"] == "overwrite":
+            touched = set(st["touched"])
+            gone = {f.path for f in base.files_for(touched)
+                    if f.bucket is not None}
+            files = [f for f in base.files_for(buckets)
+                     if f.path not in gone] + adds
+        else:
+            files = base.files_for(buckets) + adds
+        # the audit read must resolve exactly as the PUBLISHED table
+        # would: publish inherits the base's multi_version (same rule as
+        # append()/commit()), so the staged view does too
+        multi_version = base.multi_version
+        return Snapshot(
+            snapshot_id=base.snapshot_id, parent_id=base.parent_id,
+            schema=base.schema, n_buckets=base.n_buckets,
+            bucket_col=base.bucket_col, files=files,
+            committed_epochs=dict(base.committed_epochs),
+            lineage={"op": "staged", "wap_id": wap_id},
+            timestamp_ms=st["created_ms"], multi_version=multi_version,
+            name_log=list(base.name_log))
+
+    def read_staged(self, wap_id: str, *, raw: bool = False,
+                    **read_kw) -> DataFrame:
+        """Audit read of a staged commit: the table state as it WOULD be
+        after publish — LWW-resolved, tombstones dropped, engine columns
+        hidden — without the current pointer ever moving. ``raw=True``
+        returns the unresolved stored rows instead. Accepts the same
+        pruning kwargs as :meth:`read` (buckets/ts_range/key_range/
+        where)."""
+        snap = self.staged_snapshot(wap_id, read_kw.get("buckets"))
+        df = self.read(_snap=snap, **read_kw)
+        if raw:
+            return df
+        if snap.multi_version:
+            from rockefeller_spark.cdc import dedupe_lww
+            df = dedupe_lww(df, order_col="_lsn")
+        from rockefeller_spark import schema as S
+        user_cols = [f.name for f in snap.schema.fields
+                     if f.name not in S.META_COLS]
+        return df.filter(~F.col("_deleted")).select(*user_cols)
+
+    def publish_staged(self, wap_id: str, *, max_races: int = 3) -> Snapshot:
+        """Atomically make a staged commit visible (Iceberg cherry-pick /
+        fast-forward). If the table moved since staging, the publish
+        REBASES when every intervening commit touched only DISJOINT
+        buckets under the same schema/layout (validated from manifest
+        metadata alone, the same rule the apply path's conflict rebase
+        uses); otherwise raises :class:`CommitConflictError` — re-stage
+        from fresh state. Idempotent: a replayed publish (crash between
+        the commit and the marker cleanup) finds the published snapshot —
+        by epoch ledger when the stage carries ``stream_id``/``epoch``,
+        by wap_id lineage scan otherwise — cleans up, and returns it."""
+        st = self._staged_obj(wap_id)
+        adds = [DataFile.from_json(d) for d in st["adds"]]
+        stream_id, epoch = st["stream_id"], st["epoch"]
+        touched = set(st["touched"]) if st["touched"] is not None else None
+        for _ in range(max(1, max_races)):
+            cur = self.current()
+            # replayed publish after a crash mid-cleanup?
+            if stream_id is not None and epoch is not None and \
+                    cur.committed_epochs.get(stream_id, -1) >= epoch:
+                self.abandon_staged(wap_id)
+                return cur
+            published = next(
+                (s for s in reversed(self.history())
+                 if s.lineage.get("wap_id") == wap_id
+                 and s.lineage.get("op") == "wap_publish"), None)
+            if published is not None:
+                self.abandon_staged(wap_id)
+                return published
+            if cur.snapshot_id != st["base"]:
+                try:
+                    base = self.snapshot(st["base"])
+                except ValueError:
+                    raise CommitConflictError(
+                        f"staged base v{st['base']} expired; re-stage") \
+                        from None
+                if cur.n_buckets != base.n_buckets \
+                        or cur.schema != base.schema \
+                        or cur.name_log != base.name_log:
+                    raise CommitConflictError(
+                        "table layout/schema evolved since staging; re-stage")
+                diff = changed_buckets(base, cur)
+                if diff is None or touched is None or diff & touched:
+                    raise CommitConflictError(
+                        "intervening commits overlap the staged buckets; "
+                        "re-stage from fresh state")
+            if st["kind"] == "overwrite":
+                remove = {f.path for f in cur.files_for(touched)
+                          if f.bucket is not None}
+            else:
+                remove = set()
+            try:
+                snap = self.commit(
+                    adds, remove, stream_id=stream_id, epoch=epoch,
+                    lineage={**st["lineage"], "op": "wap_publish",
+                             "wap_id": wap_id, "staged_base": st["base"]},
+                    expected_version=cur.snapshot_id)
+            except CommitConflictError:
+                continue                       # racing writer; revalidate
+            self.abandon_staged(wap_id)
+            return snap
+        raise CommitConflictError(
+            f"publish of {wap_id!r} lost {max_races} commit races")
+
+    def abandon_staged(self, wap_id: str) -> None:
+        """Discard a staged commit's marker. Its data files become true
+        orphans and are reclaimed by the next orphan sweep past the grace
+        window (publish uses the same cleanup with the files now owned by
+        the published snapshot)."""
+        try:
+            self.backend.delete(self._stage_rel(wap_id))
+        except FileNotFoundError:
+            pass
+
     def lookup(self, key_value: str) -> DataFrame:
         """Point lookup: hash the key to its bucket DRIVER-SIDE (pure-
         Python xxhash64 — no 1-row Spark job; pinned equal to
@@ -2041,7 +2359,8 @@ class LakeTable:
 
     def expire_snapshots(self, keep_last: int = 2, *,
                          clean_orphans: bool = True,
-                         orphan_grace_s: float = 3600.0) -> dict[str, Any]:
+                         orphan_grace_s: float = 3600.0,
+                         staged_ttl_s: float = 86400.0) -> dict[str, Any]:
         """Maintenance: expire old snapshots and physically delete data
         files no retained snapshot references (Iceberg's ``expireSnapshots``
         + ``removeOrphanFiles`` analog). Without this, streaming cadence —
@@ -2090,15 +2409,34 @@ class LakeTable:
         interleave with the delete pass (see :meth:`_maintenance_lock`).
         Returns deletion stats."""
         keep_last = max(int(keep_last), 1)
+        now = time.time()
         with self._maintenance_lock():
             current = self.current_version()
             history = self.history()
+            # refs pin snapshots past the keep_last window: tagged
+            # snapshots stay time-travelable by name, and a pending
+            # staged commit's BASE stays loadable so its audit read and
+            # publish-rebase keep working. Staged markers older than
+            # staged_ttl_s are abandoned-by-policy and reaped (their
+            # data files then age out through the orphan sweep).
+            pinned: set[int] = {t["snapshot_id"] for t in self.tags().values()}
+            staged_live: list[dict[str, Any]] = []
+            staged_reaped = 0
+            for st in self.staged().values():
+                if now - st["created_ms"] / 1000.0 > staged_ttl_s:
+                    self.abandon_staged(st["wap_id"])
+                    staged_reaped += 1
+                else:
+                    staged_live.append(st)
+                    pinned.add(st["base"])
             retained = [s for s in history
-                        if s.snapshot_id > current - keep_last]
+                        if s.snapshot_id > current - keep_last
+                        or s.snapshot_id in pinned]
             retained_manifests = {e.path for s in retained
                                   for e in (s.manifests or [])}
             expired = [s for s in history
-                       if s.snapshot_id <= current - keep_last]
+                       if s.snapshot_id <= current - keep_last
+                       and s.snapshot_id not in pinned]
 
             # --- expiry fast path: candidates from expired-ONLY shards ---
             expired_only: dict[str, ManifestEntry] = {}
@@ -2178,7 +2516,6 @@ class LakeTable:
                 self._manifest_cache.pop(rel, None)
 
             # --- orphan sweep (full listing; opt-in / rate-limited) ---
-            now = time.time()
             orphan_dirs = 0
             if clean_orphans:
                 # reference set from COLUMNS, one parse per distinct shard
@@ -2190,6 +2527,12 @@ class LakeTable:
                         referenced.update(f.path for f in s.files)
                 for rel in retained_manifests:
                     referenced.update(self._load_manifest_cols(rel)["path"])
+                # staged-but-unpublished files are referenced by no
+                # snapshot; their markers keep them alive until publish/
+                # abandon/TTL (the grace window alone would eat a stage
+                # audited for longer than an hour)
+                for st in staged_live:
+                    referenced.update(d["path"] for d in st["adds"])
                 for fname in os.listdir(self.data_dir):
                     rel = os.path.join("data", fname)
                     if rel in referenced:
@@ -2238,6 +2581,8 @@ class LakeTable:
                     "freed_bytes": freed_bytes,
                     "orphan_dirs_removed": orphan_dirs,
                     "orphan_sweep": clean_orphans,
+                    "pinned": sorted(pinned),
+                    "staged_reaped": staged_reaped,
                     "retained": [s.snapshot_id for s in retained]}
 
     def stats(self) -> dict[str, Any]:
