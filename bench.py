@@ -598,6 +598,35 @@ def bench_read_side(spark, base_events: int = 10_000_000,
                         collect_metrics=False, mode="mor")
             applied += 1
         measure(f"{n_pending}_deltas", out)
+    # delta-file BLOOM pruning: with 16 pending trickle deltas whose key
+    # ranges all overlap (every batch spans the conv population), bounds
+    # prune nothing — the manifest blooms are what keep a point lookup
+    # from opening every pending delta
+    snap16 = table.current()
+    from rockefeller_spark.lake import key_bucket
+    # probe a COLD conv: present in exactly one trickle batch (a hot
+    # Zipf conv is in every batch, so every bloom correctly answers yes
+    # — the sketch's win is the long tail, which is most keys)
+    import pyspark.sql.functions as _F
+    key = (log.filter(log.lsn >= base_events)
+           .groupBy("conv_id")
+           .agg(_F.countDistinct(
+               _F.floor((_F.col("lsn") - base_events)
+                        / batch_events)).alias("nb"))
+           .filter("nb = 1").orderBy("conv_id").limit(1)
+           .collect()[0]["conv_id"])
+    out["bloom_probe_key_batches"] = 1
+    b16 = key_bucket(key, snap16.n_buckets)
+    deltas16 = [f for f in snap16.files if f.bucket is None]
+    bounds_kept = [f for f in deltas16
+                   if (f.buckets is None or b16 in f.buckets)
+                   and (f.min_key is None or f.min_key <= key)
+                   and (f.max_key is None or key <= f.max_key)]
+    opened16 = {p.split("/")[-1] for p in table.lookup(key).inputFiles()}
+    out["bloom_pending_delta_files"] = len(deltas16)
+    out["bloom_bounds_kept_deltas"] = len(bounds_kept)   # no-bloom opens
+    out["bloom_deltas_opened"] = sum(
+        1 for f in deltas16 if f.path.split("/")[-1] in opened16)
     t0 = time.time()
     table.compact()
     out["compact_sec"] = round(time.time() - t0, 3)
@@ -769,6 +798,9 @@ def main() -> None:
         summary["lookup_sec_after_compact"] = reads["lookup_sec_after_compact"]
         summary["lookup_files_opened"] = reads["lookup_files_opened"]
         summary["lookup_bucket_files"] = reads["lookup_bucket_files"]
+        summary["bloom_deltas_opened"] = reads["bloom_deltas_opened"]
+        summary["bloom_bounds_kept_deltas"] = reads["bloom_bounds_kept_deltas"]
+        summary["bloom_pending_delta_files"] = reads["bloom_pending_delta_files"]
     if compact is not None:
         summary["compact_sort_overhead_x"] = compact["sort_overhead_x"]
         summary["compact_sorted_sec"] = compact["compact_sorted_sec"]

@@ -161,6 +161,15 @@ class DataFile:
     # (``_lsn``, ``ts``, the bucket key) are excluded — their bounds live
     # above. None = stamped before this field existed (kept conservative).
     stats: dict[str, list] | None = None
+    # key bloom filter (base64 bitset) for bucket-SPANNING delta files:
+    # their min_key/max_key bounds cover the whole key space, so a point
+    # lookup would otherwise open EVERY pending delta; the bloom rules a
+    # delta out from its manifest entry alone — zero file GETs. Stamped
+    # only when rows ≤ ``LakeTable.bloom_max_rows`` (the trickle shape the
+    # filter exists for — a big batch's delta saturates it anyway), so
+    # manifest growth stays bounded and transient (compaction folds
+    # deltas in and the entries disappear). None = absent/oversize.
+    key_bloom: str | None = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {"path": self.path, "bucket": self.bucket,
@@ -180,6 +189,8 @@ class DataFile:
             d["max_key"] = self.max_key
         if self.stats is not None:
             d["stats"] = self.stats
+        if self.key_bloom is not None:
+            d["key_bloom"] = self.key_bloom
         return d
 
     @staticmethod
@@ -190,7 +201,7 @@ class DataFile:
                         d.get("min_ts"), d.get("max_ts"),
                         d.get("sorted_by"),
                         d.get("min_key"), d.get("max_key"),
-                        d.get("stats"))
+                        d.get("stats"), d.get("key_bloom"))
 
 
 # columnar manifest layout (format_version 2): one list per DataFile field,
@@ -199,7 +210,7 @@ class DataFile:
 # columns WITHOUT constructing DataFile objects at all (_cols_* helpers).
 _COL_FIELDS = ("path", "bucket", "rows", "min_lsn", "max_lsn",
                "buckets", "schema_v", "min_ts", "max_ts", "sorted_by",
-               "min_key", "max_key", "stats")
+               "min_key", "max_key", "stats", "key_bloom")
 
 
 def _files_to_cols(files: list[DataFile]) -> dict[str, list]:
@@ -696,6 +707,53 @@ def key_bucket(key_value: str, n_buckets: int) -> int:
     return xxhash64(key_value.encode("utf-8")) % n_buckets
 
 
+# ---- per-file key bloom filters (manifest-stored, delta files only) ----
+# Planner-side membership sketch for bucket-spanning MOR delta files: a
+# point lookup can rule a pending delta OUT from its manifest entry alone
+# (no file GET). k positions derive from one 128-bit blake2b digest via
+# double hashing (Kirsch-Mitzenmacher) — a C-speed hash, because stamping
+# rides the MOR apply hot path. Iceberg's analog keeps bloom filters in
+# the parquet footer (still a GET per file to consult); pending deltas are
+# few and transient, so the manifest can afford to carry the bits.
+_BLOOM_K = 6
+
+
+def _bloom_hashes(key: str) -> tuple[int, int]:
+    import hashlib
+    d = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
+    return (int.from_bytes(d[:8], "little"),
+            int.from_bytes(d[8:], "little") | 1)
+
+
+def bloom_from_keys(keys: "set[str]") -> str:
+    """Base64 bitset sized ~10 bits/key (power of two, ≥4096 bits,
+    ≤2^19) — ~1% false positives at the design load."""
+    import base64
+    m = 4096
+    while m < 10 * len(keys) and m < (1 << 19):
+        m <<= 1
+    bits = bytearray(m >> 3)
+    for key in keys:
+        h1, h2 = _bloom_hashes(key)
+        for i in range(_BLOOM_K):
+            p = (h1 + i * h2) % m
+            bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def bloom_might_contain(b64: str, key: str) -> bool:
+    """False = the key is DEFINITELY absent (safe to skip the file)."""
+    import base64
+    bits = base64.b64decode(b64)
+    m = len(bits) << 3
+    h1, h2 = _bloom_hashes(key)
+    for i in range(_BLOOM_K):
+        p = (h1 + i * h2) % m
+        if not bits[p >> 3] & (1 << (p & 7)):
+            return False
+    return True
+
+
 class LakeTable:
     """Handle on one icelake table rooted at ``path``."""
 
@@ -714,6 +772,10 @@ class LakeTable:
     # leading columns; the rest simply don't prune)
     stats_truncate_chars = 32
     stats_max_columns = 32
+    # bucket-spanning MOR delta files at or under this row count get a
+    # manifest-stored key bloom filter at stage time (see DataFile.
+    # key_bloom); bigger deltas skip it (saturated sketch, wasted bytes)
+    bloom_max_rows = 50_000
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -1299,7 +1361,8 @@ class LakeTable:
 
         def stat_one(item: tuple[int | None, str]) -> DataFile:
             bucket, dst = item
-            meta = pq.ParquetFile(dst).metadata
+            pf = pq.ParquetFile(dst)
+            meta = pf.metadata
             nrows = meta.num_rows
             # ONE footer pass: raw (min, max, null_count, physical_type)
             # for every leaf column — the dedicated _lsn/ts/key fields and
@@ -1368,13 +1431,24 @@ class LakeTable:
                 if elo is None and ehi is None and not snulls:
                     continue                   # nothing skippable on it
                 stats[name] = [elo, ehi, snulls]
+            # bucket-spanning deltas get a key bloom while they're small
+            # (the trickle shape): read back just the key column — this
+            # thread pool, no Spark job — and sketch it. Oversize deltas
+            # (a big MOR batch) skip: the bloom would saturate and the
+            # manifest bytes would be wasted.
+            key_bloom = None
+            if bucket is None and 0 < nrows <= self.bloom_max_rows:
+                kcol = pf.read(columns=[bucket_col]).column(0)
+                keys = {k for k in kcol.to_pylist() if k is not None}
+                if keys:
+                    key_bloom = bloom_from_keys(keys)
             return DataFile(os.path.join("data", os.path.basename(dst)),
                             bucket, nrows, min_lsn, max_lsn,
                             min_ts=_micros(tlo), max_ts=_micros(thi),
                             sorted_by=list(sort_cols) if sort_cols else None,
                             min_key=(klo if isinstance(klo, str) else None),
                             max_key=(khi if isinstance(khi, str) else None),
-                            stats=stats or None)
+                            stats=stats or None, key_bloom=key_bloom)
 
         # footer stats are tiny independent I/O reads; done serially they
         # dominate small-batch commits (≤n_buckets files × ~20 ms each),
@@ -1686,6 +1760,15 @@ class LakeTable:
             or lsn_hi is not None
         prune_active = gen_active or ts_lo is not None or ts_hi is not None \
             or key_lo is not None or key_hi is not None
+        # POINT lookups additionally consult delta-file key blooms: a
+        # pending bucket-spanning delta whose sketch rules the key out is
+        # skipped from its manifest entry alone — no file GET
+        point_key = key_lo if (key_lo is not None and key_lo == key_hi) \
+            else None
+
+        def bloom_keep(bloom: str | None) -> bool:
+            return (point_key is None or bloom is None
+                    or bloom_might_contain(bloom, point_key))
 
         # plan from COLUMNS, not DataFile objects: a full-table read at
         # 10^7 files needs only (path, schema_v[, era], ts bounds) —
@@ -1700,15 +1783,19 @@ class LakeTable:
                     by_era.setdefault(0, []).extend(
                         os.path.join(self.path, p) for p in cols["path"])
                     continue
-                for p, sv, fmin, fmax, kmin, kmax, fst, flsn0, flsn1, frows \
+                for p, sv, fmin, fmax, kmin, kmax, fst, flsn0, flsn1, \
+                        frows, fbloom \
                         in zip(cols["path"], cols["schema_v"],
                                cols["min_ts"], cols["max_ts"],
                                cols["min_key"], cols["max_key"],
                                cols["stats"], cols["min_lsn"],
-                               cols["max_lsn"], cols["rows"]):
+                               cols["max_lsn"], cols["rows"],
+                               cols["key_bloom"]):
                     if not ts_keep(fmin, fmax) or not key_keep(kmin, kmax):
                         continue
                     if gen_active and not gen_keep(fst, flsn0, flsn1, frows):
+                        continue
+                    if not bloom_keep(fbloom):
                         continue
                     era = era_cache.get(sv)
                     if era is None:
@@ -1724,6 +1811,8 @@ class LakeTable:
                     continue
                 if gen_active and not gen_keep(f.stats, f.min_lsn,
                                                f.max_lsn, f.rows):
+                    continue
+                if not bloom_keep(f.key_bloom):
                     continue
                 era = snap.file_era(f.schema_v)
                 by_era.setdefault(era, []).append(

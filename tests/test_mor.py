@@ -196,3 +196,54 @@ def test_mor_empty_batch_skips_but_null_buckets_refuse(spark, table,
     leftovers = [f for f in os.listdir(table.data_dir)] \
         if os.path.isdir(table.data_dir) else []
     assert not leftovers
+
+
+def test_mor_delta_key_blooms_prune_overlapping_deltas(spark, table,
+                                                       monkeypatch):
+    """Key BOUNDS can't prune trickle deltas whose key ranges overlap
+    (every micro-batch touches convs across the whole lexical range);
+    the manifest-stored key BLOOM rules those deltas out per key — a
+    point lookup opens only the deltas that might hold the key, from
+    metadata alone."""
+    base = gen.gen_change_events(spark, n_events=2000, n_convs=40, seed=321)
+    apply_batch(table, base)
+    convs = sorted(base.select("conv_id").distinct().toPandas().conv_id)
+    # 4 trickle batches over INTERLEAVED conv subsets: each batch's
+    # min/max key spans nearly the whole range, so bounds prune nothing
+    groups = [convs[i::4] for i in range(4)]
+    for i, grp in enumerate(groups):
+        upd = (base.filter(F.col("conv_id").isin(grp))
+               .withColumn("lsn", F.col("lsn") + F.lit((i + 1) * 1_000_000)))
+        apply_batch(table, upd, mode="mor")
+    snap = table.current()
+    deltas = [f for f in snap.files if f.bucket is None]
+    assert deltas and all(f.key_bloom for f in deltas)
+    # bounds overlap check: the target key is INSIDE every delta's range
+    key = groups[0][len(groups[0]) // 2]
+    in_range = [f for f in deltas
+                if f.min_key <= key <= f.max_key]
+    assert len(in_range) > len(groups[0]) // len(convs) + 1, \
+        "fixture must make bounds non-selective"
+    opened = {p.split("/")[-1] for p in table.lookup(key).inputFiles()}
+    opened_deltas = [f for f in deltas if f.path.split("/")[-1] in opened]
+    skipped_by_bloom = [f for f in in_range
+                        if f.path.split("/")[-1] not in opened]
+    assert skipped_by_bloom, "bloom must skip bounds-kept deltas"
+    # correctness: the lookup sees the key's LWW winner from its group
+    got = table.lookup(key)
+    assert got.filter(F.col("_lsn") >= 1_000_000).count() > 0
+    # a key in NO delta opens no delta file at all
+    fresh = "zzzz-not-updated"
+    opened2 = {p.split("/")[-1] for p in table.lookup(fresh).inputFiles()}
+    assert not any(f.path.split("/")[-1] in opened2 for f in deltas)
+
+    # oversize deltas skip the bloom (saturation guard) and stay correct
+    monkeypatch.setattr(LakeTable, "bloom_max_rows", 1)
+    apply_batch(table, base.withColumn(
+        "lsn", F.col("lsn") + F.lit(9_000_000)), mode="mor")
+    new_deltas = [f for f in table.current().files
+                  if f.bucket is None and f.path not in
+                  {d.path for d in deltas}]
+    assert new_deltas and all(f.key_bloom is None for f in new_deltas)
+    assert table.lookup(key).filter(
+        F.col("_lsn") >= 9_000_000).count() > 0
