@@ -1198,7 +1198,8 @@ class LakeTable:
                      span_buckets: bool = False,
                      sort_cols: list[str] | None = None,
                      salt_counts: dict[int, int] | None = None,
-                     target_rows_per_file: int | None = None) -> list[DataFile]:
+                     target_rows_per_file: int | None = None,
+                     cluster_expr: "Any | None" = None) -> list[DataFile]:
         """Write ``df`` as Parquet under data/ and return the new DataFile
         entries (stats from Parquet footers, as Iceberg collects them at
         commit).
@@ -1249,12 +1250,19 @@ class LakeTable:
                                     if c not in ("_bucket", "_salt")])
                 n_parts = max(sum(salt_counts.values()),
                               self.spark.sparkContext.defaultParallelism)
+                # cluster_expr (a computed Column — e.g. compact()'s
+                # z-order value) replaces the named sort columns as the
+                # clustering key; sort_cols then only LABELS the layout
+                # in DataFile.sorted_by. The expression never
+                # materializes as a written column.
+                cluster = ([cluster_expr] if cluster_expr is not None
+                           else [F.col(c) for c in sort_cols])
                 out = (df.withColumn("_bucket",
                                      bucket_expr(bucket_col, n_buckets))
                        .withColumn("_tiebreak", vary)
                        .repartitionByRange(
                            n_parts, F.col("_bucket"),
-                           *[F.col(c) for c in sort_cols], F.col("_tiebreak"))
+                           *cluster, F.col("_tiebreak"))
                        .drop("_tiebreak"))
             elif salt_counts is not None:
                 # size-targeted layout: bucket b splits over salt_counts[b]
@@ -1301,7 +1309,9 @@ class LakeTable:
                 # min/max stats on the key become selective, so a point
                 # lookup's pushed equality filter skips row groups inside
                 # the bucket's files, not just files
-                out = out.sortWithinPartitions("_bucket", *sort_cols)
+                out = out.sortWithinPartitions(
+                    "_bucket", *([cluster_expr] if cluster_expr is not None
+                                 else sort_cols))
             writer = out.write.mode("overwrite")
             if target_rows_per_file is not None:
                 # split a task's sorted run into bounded SEQUENTIAL files —
@@ -1884,11 +1894,71 @@ class LakeTable:
             out = out.unionByName(p)
         return ts_filter(out)
 
+    def _zorder_expr(self, probe: DataFrame, cols: list[str],
+                     n_bins: int = 32):
+        """Build the Z-ORDER clustering value for ``cols`` (Delta
+        ``OPTIMIZE ZORDER BY`` / Iceberg z-order rewrite analog): each
+        column maps to its approximate-quantile bin index (so skewed
+        distributions still spread evenly — a linear min/max scaling
+        would collapse under a hot time window), and the bin indices'
+        bits INTERLEAVE into one integer. Range-partitioning files by
+        that integer clusters rows so every z-order column's per-file
+        min/max bounds become selective AT ONCE — a ts-range read and a
+        secondary-column read both prune files of the same layout.
+
+        Numeric / timestamp / date columns only: the bucket key (a
+        string) is already clustered by bucketing + ``sort_by_key``.
+        Boundary estimation is one ``approxQuantile`` pass over
+        ``probe`` — maintenance-path cost, never the apply hot path."""
+        bits = max(1, (int(n_bins) - 1).bit_length())
+        ftypes = {f.name: f.dataType for f in probe.schema.fields}
+        nums: list = []
+        qcols: list[str] = []
+        for c in cols:
+            if c not in ftypes:
+                raise ValueError(f"zorder column {c!r} not in schema")
+            dt = ftypes[c]
+            if isinstance(dt, T.TimestampType):
+                nums.append(F.unix_micros(F.col(c)))
+            elif isinstance(dt, T.DateType):
+                nums.append(F.datediff(F.col(c), F.lit("1970-01-01")))
+            elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                                 T.LongType, T.FloatType, T.DoubleType,
+                                 T.DecimalType)):
+                nums.append(F.col(c).cast("double"))
+            else:
+                raise ValueError(
+                    f"zorder column {c!r} has type {dt.simpleString()}; "
+                    "z-order supports numeric/timestamp/date columns "
+                    "(the string bucket key is clustered by sort_by_key)")
+            qcols.append(f"_q{len(qcols)}")
+        qdf = probe.select(*[n.cast("double").alias(q)
+                             for n, q in zip(nums, qcols)]).na.drop("any")
+        probs = [i / n_bins for i in range(1, n_bins)]
+        all_bounds = qdf.approxQuantile(qcols, probs, 0.01)
+        z = F.lit(0).cast("long")
+        k = len(cols)
+        for j, (num, bounds) in enumerate(zip(nums, all_bounds)):
+            bounds = sorted(set(bounds))       # skew dedupes bins: fine
+            if not bounds:
+                continue                       # empty/constant column
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            idx = F.aggregate(
+                arr, F.lit(0),
+                lambda acc, b: acc + F.when(num.cast("double") > b, 1)
+                                      .otherwise(0))
+            for bit in range(bits):
+                z = z.bitwiseOR(F.shiftleft(
+                    F.shiftright(idx, bit).bitwiseAND(F.lit(1)).cast("long"),
+                    bit * k + j))
+        return z, f"z({','.join(cols)})"
+
     def compact(self, *, drop_tombstones: bool = True,
                 write_salt: int = 0,
                 buckets: set[int] | None = None,
                 sort_by_key: bool = True,
-                target_rows_per_file: int | None = None) -> Snapshot:
+                target_rows_per_file: int | None = None,
+                zorder_by: list[str] | None = None) -> Snapshot:
         """Maintenance: rewrite files into a compacted set, optionally
         dropping tombstones (safe once no event older than the table's
         high-water mark can still arrive — the operator's call).
@@ -1920,6 +1990,15 @@ class LakeTable:
         ranges — a point lookup then opens one file of the bucket
         (``read(key_range=...)``); with ``sort_by_key=False`` it falls
         back to a hash fan-out (parallel, but overlapping ranges).
+
+        ``zorder_by=[cols...]`` replaces the key sort with Z-ORDER
+        clustering on the named numeric/timestamp columns (Delta
+        ``OPTIMIZE ZORDER BY`` analog, see :meth:`_zorder_expr`): with
+        ``target_rows_per_file`` the range exchange runs on the
+        interleaved-bits z-value, so EVERY z-order column's per-file
+        bounds become selective at once — a time-range read and a
+        secondary-column ``where=`` read prune files of the same layout,
+        where a single-column sort favors only its leading column.
 
         Time travel to pre-compaction snapshots still works (old files
         stay referenced by old metadata) until ``expire_snapshots``
@@ -1961,11 +2040,21 @@ class LakeTable:
             salt_counts = {
                 b: max(1, -(-(r + spread) // target_rows_per_file))
                 for b, r in per_bucket.items()}
+        cluster_expr = None
+        sort_cols = [snap.bucket_col] if sort_by_key else None
+        if zorder_by:
+            # boundary probe on the RAW pruned read (pre-LWW-resolve):
+            # quantiles don't need the exact winner set, and probing the
+            # resolved df would compute the reduction twice
+            cluster_expr, zlabel = self._zorder_expr(
+                self.read(buckets=buckets), list(zorder_by))
+            sort_cols = [zlabel]
         adds = self._stage_write(
             df, snap.n_buckets, snap.bucket_col, write_salt,
-            sort_cols=[snap.bucket_col] if sort_by_key else None,
+            sort_cols=sort_cols,
             salt_counts=salt_counts,
-            target_rows_per_file=target_rows_per_file)
+            target_rows_per_file=target_rows_per_file,
+            cluster_expr=cluster_expr)
         if buckets is None:
             remove = {p for cols in snap.file_columns()
                       for p in cols["path"]}

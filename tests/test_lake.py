@@ -578,3 +578,52 @@ def test_trunc_upper_bound_is_valid():
     s2 = "a" * 31 + "퟿" + "zz"
     hi2 = _trunc_upper(s2, 32)
     assert hi2 >= s2 and not (0xD800 <= ord(hi2[-1]) <= 0xDFFF)
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, table):
+    """compact(zorder_by=["ts","turn_idx"]) clusters each bucket's files
+    so BOTH a time-range read and a turn_idx where= read prune files —
+    the trade a single-column key sort can't make (its trailing columns
+    scatter across every file)."""
+    ev = gen.gen_change_events(spark, n_events=8000, n_convs=24,
+                               max_turns=40, seed=401)
+    apply_batch(table, ev)
+    before = read_state(table).toPandas()
+
+    # A: key-sorted sized compaction (the default layout)
+    table.compact(target_rows_per_file=500)
+    snap_a = table.current()
+    # pick a ts slice covering ~1/4 of the range
+    all_ts = sorted(t for f in snap_a.files for t in (f.min_ts, f.max_ts)
+                    if t is not None)
+    lo, hi = all_ts[0], all_ts[len(all_ts) // 4]
+    a_ts_opened = len(table.read(ts_range=(lo, hi)).inputFiles())
+    a_turn_opened = len(table.read(where={"turn_idx": (0, 4)}).inputFiles())
+    a_total = len(snap_a.files)
+
+    # B: z-order compaction over (ts, turn_idx)
+    table.compact(zorder_by=["ts", "turn_idx"], target_rows_per_file=500)
+    snap_b = table.current()
+    b_total = len(snap_b.files)
+    assert all(f.sorted_by == ["z(ts,turn_idx)"] for f in snap_b.files)
+    b_ts_opened = len(table.read(ts_range=(lo, hi)).inputFiles())
+    b_turn_opened = len(table.read(where={"turn_idx": (0, 4)}).inputFiles())
+
+    # the z layout must prune BOTH dimensions (strictly fewer files than
+    # the full set), and beat the key-sorted layout on at least one
+    assert b_ts_opened < b_total and b_turn_opened < b_total
+    assert (b_ts_opened + b_turn_opened) < (a_ts_opened + a_turn_opened), \
+        (f"z-order opened {b_ts_opened}+{b_turn_opened} of {b_total}; "
+         f"key-sort opened {a_ts_opened}+{a_turn_opened} of {a_total}")
+
+    # correctness: same visible state, and the pruned reads are exact
+    after = read_state(table).toPandas()
+    assert len(after) == len(before)
+    got = table.read(ts_range=(lo, hi)).count()
+    want = table.read().filter(
+        (F.unix_micros("ts") >= lo) & (F.unix_micros("ts") <= hi)).count()
+    assert got == want
+
+    # strings refuse with a clear message
+    with pytest.raises(ValueError, match="z-order supports"):
+        table.compact(zorder_by=["conv_id"])
