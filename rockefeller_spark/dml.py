@@ -92,3 +92,93 @@ def update_where(table: LakeTable, condition: Column,
         return _as_events(updated, "U", _next_lsn(table))
     return apply_batch(table, make, write_salt=write_salt, mode=mode,
                        retries=retries)
+
+
+def merge_into(table: LakeTable, source: DataFrame, *,
+               when_matched_update: "dict[str, Column] | str | None" = "all",
+               when_matched_delete: Column | None = None,
+               when_not_matched_insert: bool = True,
+               write_salt: int = 4, mode: str = "cow",
+               retries: int = 0) -> ApplyResult:
+    """Declarative MERGE INTO (the Iceberg/Delta ``MERGE INTO t USING s
+    ON keys`` shape) over the engine's apply path: ``source`` rows join
+    the visible table state on the key columns, each clause compiles to
+    change events at one fresh high-water-mark LSN, and the single event
+    batch rides :func:`merge.apply_batch` — touched-bucket pruning,
+    salting, atomic commit, conflict rebase/retry, feed visibility, all
+    for free. Every key appears in exactly one clause, so one shared LSN
+    is unambiguous.
+
+    ``source`` must carry the key columns plus every visible payload
+    column (the INSERT rule). Clauses:
+
+    - ``when_matched_delete``: a Column predicate over the joined row —
+      source columns keep their names, target columns are ``t_``-prefixed
+      — matching TARGET keys it's true for become tombstones. Evaluated
+      first (Delta's clause-order rule).
+    - ``when_matched_update``: ``"all"`` (default) overwrites matched
+      rows with the source payload; a ``{col: expr}`` dict updates only
+      those columns (exprs see source names + ``t_`` target columns);
+      ``None`` leaves matched rows untouched.
+    - ``when_not_matched_insert``: insert source rows whose key is absent.
+
+    The event batch is built by a factory re-invoked per conflict retry,
+    so every attempt sees a fresh matched set and a fresh LSN — the same
+    recompute contract as :func:`delete_where`."""
+    if isinstance(when_matched_update, str) and when_matched_update != "all":
+        raise ValueError("when_matched_update: 'all', a {col: expr} dict, "
+                         "or None")
+    keys = list(S.KEY_COLS)
+    missing = set(keys) - set(source.columns)
+    if missing:
+        raise ValueError(f"source lacks key columns {sorted(missing)}")
+    if isinstance(when_matched_update, dict):
+        bad = set(when_matched_update) & set(keys)
+        if bad:
+            raise ValueError(f"cannot UPDATE key columns {sorted(bad)}")
+
+    def make() -> DataFrame:
+        tgt = read_state(table)
+        payload = [c for c in tgt.columns if c not in keys]
+        lacks = set(payload) - set(source.columns)
+        if lacks:
+            raise ValueError(
+                f"source lacks payload columns {sorted(lacks)} (MERGE "
+                "sources carry the full visible row, like INSERT)")
+        j = source.select(*keys, *payload).join(
+            tgt.select(*keys, F.lit(True).alias("_matched"),
+                       *[F.col(c).alias(f"t_{c}") for c in payload]),
+            on=keys, how="left")
+        matched = F.coalesce(F.col("_matched"), F.lit(False))
+        lsn = _next_lsn(table)
+        branches: list[DataFrame] = []
+        del_cond = when_matched_delete
+        if del_cond is not None:
+            branches.append(_as_events(
+                j.filter(matched & del_cond).select(*keys, *payload),
+                "D", lsn))
+        rest = matched if del_cond is None else (matched & ~F.coalesce(
+            del_cond, F.lit(False)))
+        if when_matched_update == "all":
+            branches.append(_as_events(
+                j.filter(rest).select(*keys, *payload), "U", lsn))
+        elif isinstance(when_matched_update, dict):
+            unknown = set(when_matched_update) - set(payload)
+            if unknown:
+                raise ValueError(f"unknown columns in SET: {sorted(unknown)}")
+            branches.append(_as_events(
+                j.filter(rest).select(
+                    *keys, *[when_matched_update.get(c, F.col(c)).alias(c)
+                             for c in payload]),
+                "U", lsn))
+        if when_not_matched_insert:
+            branches.append(_as_events(
+                j.filter(~matched).select(*keys, *payload), "I", lsn))
+        if not branches:
+            raise ValueError("MERGE with every clause disabled is a no-op")
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
+    return apply_batch(table, make, write_salt=write_salt, mode=mode,
+                       retries=retries)

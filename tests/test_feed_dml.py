@@ -291,3 +291,71 @@ def test_feed_cursor_stale_after_retention(spark, table):
         cur.poll()
     cur.reset()                                  # re-base after full sync
     assert cur.poll() == (None, None)
+
+
+# ------------------------------------------------------------- MERGE INTO
+
+def test_merge_into_all_clauses_equal_oracle(spark, table):
+    from rockefeller_spark.dml import merge_into
+    ev = gen.gen_change_events(spark, n_events=1200, n_convs=10, seed=61)
+    pdf = ev.toPandas()
+    apply_batch(table, ev)
+    state = replay(pdf)
+
+    # source: updates for half the existing keys, inserts for new keys,
+    # and a delete predicate on one conv
+    existing = state.iloc[: len(state) // 2].copy()
+    existing["text"] = "merged:" + existing["text"]
+    new = state.iloc[:5].copy()
+    new["conv_id"] = "brand-new"
+    new["turn_idx"] = range(5)
+    new["text"] = "inserted"
+    src_pdf = pd.concat([existing, new], ignore_index=True)
+    src = spark.createDataFrame(src_pdf)
+    del_conv = existing.conv_id.iloc[0]
+
+    res = merge_into(table, src,
+                     when_matched_delete=F.col("conv_id") == del_conv)
+    assert res.snapshot is not None
+
+    got = read_state(table).toPandas().set_index(
+        ["conv_id", "turn_idx"]).sort_index()
+    want = state.set_index(["conv_id", "turn_idx"]).sort_index()
+    # oracle: apply the clauses in pandas
+    want = want.drop(index=[i for i in want.index
+                            if i in existing.set_index(
+                                ["conv_id", "turn_idx"]).index
+                            and i[0] == del_conv])
+    upd = existing[existing.conv_id != del_conv] \
+        .set_index(["conv_id", "turn_idx"])
+    want.loc[upd.index, "text"] = upd["text"]
+    for i, r in new.set_index(["conv_id", "turn_idx"]).iterrows():
+        want.loc[i, :] = r
+    want = want.sort_index()
+    assert list(got.index) == list(want.index)
+    assert (got["text"].values == want["text"].values).all()
+
+
+def test_merge_into_update_dict_and_validation(spark, table):
+    from rockefeller_spark.dml import merge_into
+    ev = gen.gen_change_events(spark, n_events=600, n_convs=6, seed=62)
+    apply_batch(table, ev)
+    state = read_state(table).toPandas()
+    src = spark.createDataFrame(state)          # source == current state
+
+    # dict update referencing BOTH source and t_ target columns
+    merge_into(table, src,
+               when_matched_update={
+                   "text": F.concat(F.lit("v2:"), F.col("t_text"))},
+               when_not_matched_insert=False)
+    got = read_state(table).toPandas()
+    assert (got.text.str.startswith("v2:")).all()
+    assert len(got) == len(state)
+
+    with pytest.raises(ValueError, match="key columns"):
+        merge_into(table, src, when_matched_update={"conv_id": F.lit("x")})
+    with pytest.raises(ValueError, match="lacks key columns"):
+        merge_into(table, src.drop("conv_id"))
+    with pytest.raises(ValueError, match="no-op"):
+        merge_into(table, src, when_matched_update=None,
+                   when_not_matched_insert=False)
