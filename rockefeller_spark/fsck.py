@@ -233,6 +233,41 @@ def check_table(table: LakeTable, *, snapshot_id: int | None = None,
                         rep.add("error", "footer-lsn-outside-bounds",
                                 f"{path}: footer [{lo},{hi}] outside "
                                 f"stamped [{min_lsn},{max_lsn}]")
+
+    # -- refs: every tag must resolve to an on-disk snapshot ------------
+    try:
+        tags = table.tags()
+    except Exception as e:
+        rep.add("error", "unreadable-tags",
+                f"refs dir unreadable: {type(e).__name__}: {e}")
+        tags = {}
+    for name, t in tags.items():
+        try:
+            table.snapshot(int(t["snapshot_id"]))
+        except Exception:
+            rep.add("error", "tag-target-missing",
+                    f"tag {name!r} -> v{t.get('snapshot_id')} not on disk "
+                    "(expired under the pin, or hand-deleted)")
+
+    # -- staged commits: publishable = base on disk + files present -----
+    try:
+        staged = table.staged()
+    except Exception as e:
+        rep.add("error", "unreadable-staged",
+                f"staged dir unreadable: {type(e).__name__}: {e}")
+        staged = {}
+    for wap_id, st in staged.items():
+        try:
+            table.snapshot(int(st["base"]))
+        except Exception:
+            rep.add("warning", "staged-base-missing",
+                    f"staged {wap_id!r}: base v{st.get('base')} expired — "
+                    "publish will refuse; abandon + re-stage")
+        for d in st.get("adds", ()):
+            if not os.path.exists(os.path.join(table.path, d["path"])):
+                rep.add("error", "staged-file-missing",
+                        f"staged {wap_id!r}: {d['path']} missing (orphan "
+                        "sweep ran without the marker protection?)")
     return rep
 
 

@@ -130,3 +130,31 @@ def test_unreadable_snapshot_reported_not_raised(spark, table):
     rep = check_table(LakeTable(spark, table.path))
     assert not rep.ok
     assert rep.findings[0].code == "unreadable-snapshot"
+
+
+def test_refs_and_staged_findings(spark, table):
+    """Healthy tags/stages report clean; a hand-deleted tag target and a
+    swept-away staged file are each caught with the right code."""
+    from rockefeller_spark.cdc import dedupe_lww, winners_to_stored
+    from rockefeller_spark import gen as _g
+    from pyspark.sql import functions as F
+
+    table.tag("ok", table.current_version())
+    extra = winners_to_stored(dedupe_lww(
+        _g.gen_change_events(spark, 200, 5, seed=71)
+        .withColumn("conv_id", F.concat(F.lit("f-"), F.col("conv_id"))),
+        order_col="lsn"))
+    wap = table.stage_append(extra)
+    rep = check_table(table)
+    assert rep.ok, [f"{x.code}: {x.detail}" for x in rep.findings]
+
+    # corrupt 1: tag points at a snapshot someone hand-deleted
+    table.tag("dangling", 1)
+    os.remove(os.path.join(table.meta_dir, "v00000001.json"))
+    # corrupt 2: a staged data file vanished out-of-band
+    victim = table.staged()[wap]["adds"][0]["path"]
+    os.remove(os.path.join(table.path, victim))
+    rep = check_table(table)
+    codes = {x.code for x in rep.findings}
+    assert "tag-target-missing" in codes
+    assert "staged-file-missing" in codes
