@@ -2538,7 +2538,8 @@ class LakeTable:
     def expire_snapshots(self, keep_last: int = 2, *,
                          clean_orphans: bool = True,
                          orphan_grace_s: float = 3600.0,
-                         staged_ttl_s: float = 86400.0) -> dict[str, Any]:
+                         staged_ttl_s: float = 86400.0,
+                         dry_run: bool = False) -> dict[str, Any]:
         """Maintenance: expire old snapshots and physically delete data
         files no retained snapshot references (Iceberg's ``expireSnapshots``
         + ``removeOrphanFiles`` analog). Without this, streaming cadence —
@@ -2602,7 +2603,8 @@ class LakeTable:
             staged_reaped = 0
             for st in self.staged().values():
                 if now - st["created_ms"] / 1000.0 > staged_ttl_s:
-                    self.abandon_staged(st["wap_id"])
+                    if not dry_run:
+                        self.abandon_staged(st["wap_id"])
                     staged_reaped += 1
                 else:
                     staged_live.append(st)
@@ -2662,6 +2664,7 @@ class LakeTable:
 
             deleted_files = 0
             freed_bytes = 0
+            reclaimed: set[str] = set()    # so the sweep won't recount
             seen: set[str] = set()
             for e in expired_only.values():
                 cols = self._load_manifest_cols(e.path)
@@ -2674,24 +2677,31 @@ class LakeTable:
                     full = os.path.join(self.path, path)
                     try:
                         freed_bytes += os.path.getsize(full)
-                        os.remove(full)
+                        if not dry_run:
+                            os.remove(full)
+                        reclaimed.add(path)
                         deleted_files += 1
                     except FileNotFoundError:
                         pass
 
             expired_meta = 0
             for s in expired:
-                self.backend.delete(self._meta_rel(s.snapshot_id))
+                if not dry_run:
+                    self.backend.delete(self._meta_rel(s.snapshot_id))
                 expired_meta += 1
 
             deleted_manifests = 0
             for rel in expired_only:
                 try:
-                    self.backend.delete(rel)
+                    if not dry_run:
+                        self.backend.delete(rel)
+                    elif not self.backend.exists(rel):
+                        raise FileNotFoundError(rel)
                     deleted_manifests += 1
                 except FileNotFoundError:
                     pass
-                self._manifest_cache.pop(rel, None)
+                if not dry_run:
+                    self._manifest_cache.pop(rel, None)
 
             # --- orphan sweep (full listing; opt-in / rate-limited) ---
             orphan_dirs = 0
@@ -2713,7 +2723,7 @@ class LakeTable:
                     referenced.update(d["path"] for d in st["adds"])
                 for fname in os.listdir(self.data_dir):
                     rel = os.path.join("data", fname)
-                    if rel in referenced:
+                    if rel in referenced or rel in reclaimed:
                         continue
                     full = os.path.join(self.data_dir, fname)
                     # true orphan: possibly an in-flight commit's staged-in
@@ -2722,7 +2732,8 @@ class LakeTable:
                         if now - os.path.getmtime(full) < orphan_grace_s:
                             continue
                         freed_bytes += os.path.getsize(full)
-                        os.remove(full)
+                        if not dry_run:
+                            os.remove(full)
                         deleted_files += 1
                     except FileNotFoundError:
                         continue
@@ -2736,10 +2747,12 @@ class LakeTable:
                     try:
                         if now - os.path.getmtime(full) < orphan_grace_s:
                             continue
-                        self.backend.delete(rel)
+                        if not dry_run:
+                            self.backend.delete(rel)
                     except FileNotFoundError:
                         continue
-                    self._manifest_cache.pop(rel, None)
+                    if not dry_run:
+                        self._manifest_cache.pop(rel, None)
                     deleted_manifests += 1
                 for d in os.listdir(self.path):
                     if not d.startswith(".stage-"):
@@ -2750,7 +2763,8 @@ class LakeTable:
                             continue
                     except FileNotFoundError:
                         continue
-                    shutil.rmtree(full, ignore_errors=True)
+                    if not dry_run:
+                        shutil.rmtree(full, ignore_errors=True)
                     orphan_dirs += 1
 
             return {"expired_snapshots": expired_meta,
@@ -2759,6 +2773,7 @@ class LakeTable:
                     "freed_bytes": freed_bytes,
                     "orphan_dirs_removed": orphan_dirs,
                     "orphan_sweep": clean_orphans,
+                    "dry_run": dry_run,
                     "pinned": sorted(pinned),
                     "staged_reaped": staged_reaped,
                     "retained": [s.snapshot_id for s in retained]}

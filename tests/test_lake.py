@@ -627,3 +627,25 @@ def test_zorder_compact_prunes_both_dimensions(spark, table):
     # strings refuse with a clear message
     with pytest.raises(ValueError, match="z-order supports"):
         table.compact(zorder_by=["conv_id"])
+
+
+def test_expire_dry_run_reports_without_deleting(spark, table):
+    ev = gen.gen_change_events(spark, n_events=3000, n_convs=15, seed=402)
+    for lo, hi in [(0, 1000), (1000, 2000), (2000, 3000)]:
+        apply_batch(table, ev.filter((ev.lsn >= lo) & (ev.lsn < hi)))
+    files_before = {f.path for f in table.current().files}
+    history_before = [s.snapshot_id for s in table.history()]
+
+    preview = table.expire_snapshots(keep_last=1, orphan_grace_s=0.0,
+                                     dry_run=True)
+    assert preview["dry_run"] and preview["expired_snapshots"] > 0
+    # NOTHING changed: all snapshots still load, all files still exist
+    assert [s.snapshot_id for s in table.history()] == history_before
+    for p in files_before:
+        assert os.path.exists(os.path.join(table.path, p))
+
+    real = table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    assert not real["dry_run"]
+    assert real["expired_snapshots"] == preview["expired_snapshots"]
+    assert real["deleted_files"] == preview["deleted_files"]
+    assert real["freed_bytes"] == preview["freed_bytes"]
