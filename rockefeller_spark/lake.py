@@ -2803,6 +2803,30 @@ class LakeTable:
                             if f.max_lsn is not None), default=None),
         }
 
+    def describe(self) -> dict[str, Any]:
+        """One-call operator summary (the ``DESCRIBE TABLE EXTENDED``
+        analog): layout, size aggregates, schema-evolution state, refs,
+        pending staged commits, retained history. Metadata-flat — the
+        same manifest-list aggregates :meth:`stats` uses, plus O(refs +
+        retained snapshots) small reads; no data or manifest loads."""
+        snap = self.current()
+        st = self.stats()
+        return {
+            **st,
+            "path": self.path,
+            "bucket_col": snap.bucket_col,
+            "schema": snap.schema.simpleString(),
+            "multi_version": snap.multi_version,
+            "committed_epochs": dict(snap.committed_epochs),
+            "name_log_entries": len(snap.name_log),
+            "tags": {n: t["snapshot_id"] for n, t in self.tags().items()},
+            "staged": {w: {"kind": s["kind"], "base": s["base"],
+                           "rows_added": s["rows_added"]}
+                       for w, s in self.staged().items()},
+            "retained_snapshots": [s.snapshot_id for s in self.history()],
+            "backend": type(self.backend).__name__,
+        }
+
     def applied_lsns(self, buckets: set[int] | None = None) -> DataFrame:
         """Dedup-state view (FIXTURES.md §4): per-bucket high-water mark of
         applied LSNs, derived from file stats — the engine's durable

@@ -649,3 +649,17 @@ def test_expire_dry_run_reports_without_deleting(spark, table):
     assert real["expired_snapshots"] == preview["expired_snapshots"]
     assert real["deleted_files"] == preview["deleted_files"]
     assert real["freed_bytes"] == preview["freed_bytes"]
+
+
+def test_describe_summarizes_table(spark, table):
+    ev = gen.gen_change_events(spark, n_events=800, n_convs=8, seed=403)
+    apply_batch(table, ev, stream_id="s", epoch=0)
+    table.tag("v1")
+    d = table.describe()
+    assert d["snapshot_id"] == 1 and d["n_buckets"] == 4
+    assert d["rows"] > 0 and d["n_files"] > 0
+    assert d["tags"] == {"v1": 1}
+    assert d["committed_epochs"] == {"s": 0}
+    assert d["retained_snapshots"] == [0, 1]
+    assert "conv_id" in d["schema"] and d["bucket_col"] == "conv_id"
+    assert d["staged"] == {} and d["multi_version"] is False
