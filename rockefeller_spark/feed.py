@@ -269,6 +269,54 @@ class FeedCursor:
                   "seq": self._read_seq() + 1})
 
 
+def sync_mirror(src: LakeTable, dst: LakeTable, consumer_id: str, *,
+                mode: str = "cow", max_windows: int | None = None,
+                start_at: str = "oldest") -> dict:
+    """Keep a DERIVED LakeTable in sync with ``src``'s change feed — CDC
+    chaining (the Delta-CDF → downstream-MERGE pattern): each unconsumed
+    feed window becomes one change-event batch (window-end snapshot id as
+    the LSN — strictly increasing per ack, one row per key per window, so
+    LWW across windows is exact) applied to ``dst`` through the normal
+    apply path, then the window is acked on the durable
+    :class:`FeedCursor`.
+
+    Exactly-once BOTH ways: a crash between apply and ack replays the
+    window with the same cursor ``seq``, and the mirror apply stamps
+    ``stream_id="mirror:{consumer}"``/``epoch=seq`` — ``dst``'s own epoch
+    ledger turns the replay into a no-op before the cursor re-acks. The
+    downstream table must be owned by the mirror (direct writes to it
+    would interleave foreign LSNs with the window numbering).
+
+    A new consumer with ``start_at="oldest"`` replays everything
+    retention still holds; if ``src``'s early history already expired,
+    bootstrap ``dst`` from a full ``read_state`` first and pass
+    ``start_at="current"`` (the :class:`FeedCursor` onboarding order).
+    Returns ``{"windows", "rows", "dst_version"}``."""
+    from rockefeller_spark.merge import apply_batch
+    cur = FeedCursor(src, consumer_id)
+    windows = 0
+    rows = 0
+    while max_windows is None or windows < max_windows:
+        df, tok = cur.poll(start_at=start_at)
+        if df is None:
+            break
+        payload = [c for c in df.columns
+                   if c not in S.KEY_COLS and c != "_change"]
+        ev = df.select(
+            F.lit(tok["snapshot_id"]).cast("long").alias("lsn"),
+            F.when(F.col("_change") == "delete", F.lit("D"))
+             .otherwise(F.lit("U")).alias("op"),
+            *S.KEY_COLS, *payload,
+            F.current_timestamp().alias("event_ts"))
+        res = apply_batch(dst, ev, stream_id=f"mirror:{consumer_id}",
+                          epoch=tok["seq"], mode=mode)
+        rows += res.events_in or 0
+        cur.ack(tok)
+        windows += 1
+    return {"windows": windows, "rows": rows,
+            "dst_version": dst.current_version()}
+
+
 def lsn_gaps(events: DataFrame, lsn_col: str = "lsn",
              block: int = 1_000_000) -> DataFrame:
     """Missing-LSN ranges ``(gap_start, gap_end)`` in an event log — every

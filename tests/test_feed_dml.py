@@ -359,3 +359,66 @@ def test_merge_into_update_dict_and_validation(spark, table):
     with pytest.raises(ValueError, match="no-op"):
         merge_into(table, src, when_matched_update=None,
                    when_not_matched_insert=False)
+
+
+# ------------------------------------------------------------ CDC chaining
+
+def test_sync_mirror_downstream_equals_source(spark, table, tmp_path):
+    """A derived table pumped by sync_mirror converges to the source's
+    visible state across multiple windows with deletes, and a crashed
+    window (applied but unacked) replays as a no-op via the downstream
+    epoch ledger."""
+    from rockefeller_spark.feed import FeedCursor, sync_mirror
+    from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
+
+    dst = LakeTable.create(spark, str(tmp_path / "mirror"),
+                           STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=1800, n_convs=12, seed=71,
+                               p_delete=0.25)
+    pdf = ev.toPandas()
+
+    def states_equal():
+        a = read_state(table).toPandas().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        b = read_state(dst).toPandas().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert len(a) == len(b) and (a.text.values == b.text.values).all()
+
+    # window 1: initial load
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn <= 600], ev.schema))
+    out = sync_mirror(table, dst, "mirror-a")
+    assert out["windows"] == 1
+    states_equal()
+
+    # windows 2+3 (two src commits, ONE poll window) incl deletes
+    apply_batch(table, spark.createDataFrame(
+        pdf[(pdf.lsn > 600) & (pdf.lsn <= 1200)], ev.schema))
+    apply_batch(table, spark.createDataFrame(pdf[pdf.lsn > 1200], ev.schema))
+    sync_mirror(table, dst, "mirror-a")
+    states_equal()
+    # downstream visible state == oracle replay of the full log
+    want = replay(pdf)
+    got = read_state(dst).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (got.text.values == want.sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True).text.values).all()
+
+    # crash between apply and ack: re-pump replays the window — the
+    # epoch ledger skips it and the mirror still converges
+    delete_where(table, F.col("turn_idx") == 0)
+    cur = FeedCursor(table, "mirror-a")
+    df, tok = cur.poll()
+    from rockefeller_spark.merge import apply_batch as ab
+    payload = [c for c in df.columns if c not in ("conv_id", "turn_idx",
+                                                  "_change")]
+    ev2 = df.select(
+        F.lit(tok["snapshot_id"]).cast("long").alias("lsn"),
+        F.when(F.col("_change") == "delete", F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"),
+        "conv_id", "turn_idx", *payload,
+        F.current_timestamp().alias("event_ts"))
+    ab(dst, ev2, stream_id="mirror:mirror-a", epoch=tok["seq"])  # applied...
+    # ...but NOT acked (crash). The pump replays and must not double-apply.
+    out = sync_mirror(table, dst, "mirror-a")
+    assert out["windows"] == 1
+    states_equal()
