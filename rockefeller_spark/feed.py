@@ -302,6 +302,17 @@ def sync_mirror(src: LakeTable, dst: LakeTable, consumer_id: str, *,
             break
         payload = [c for c in df.columns
                    if c not in S.KEY_COLS and c != "_change"]
+        # source schema evolution mid-stream: the feed already projects
+        # the window in the window-END schema (adds null-filled, widens
+        # cast up, renames mapped forward); evolve the mirror additively
+        # to match before the apply, same zero-rewrite commit the source
+        # made. Renames/drops are metadata-only on the source and cannot
+        # be replayed through a value feed — mirror consumers see the
+        # new names with old values NULL, exactly like a late consumer
+        # of the source's own feed.
+        dst_cols = {f.name for f in dst.current().schema.fields}
+        if any(c not in dst_cols for c in payload):
+            dst.evolve(src.snapshot(tok["snapshot_id"]).schema)
         ev = df.select(
             F.lit(tok["snapshot_id"]).cast("long").alias("lsn"),
             F.when(F.col("_change") == "delete", F.lit("D"))

@@ -422,3 +422,34 @@ def test_sync_mirror_downstream_equals_source(spark, table, tmp_path):
     out = sync_mirror(table, dst, "mirror-a")
     assert out["windows"] == 1
     states_equal()
+
+
+def test_sync_mirror_survives_source_schema_evolution(spark, table,
+                                                      tmp_path):
+    """The source gains a column mid-stream; the mirror auto-evolves
+    additively (zero rewrite) and keeps converging."""
+    from rockefeller_spark.feed import sync_mirror
+    from rockefeller_spark.schema import (CHANGE_EVENT_SCHEMA_V2,
+                                          STORED_TRANSCRIPT_SCHEMA)
+    dst = LakeTable.create(spark, str(tmp_path / "m2"),
+                           STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=600, n_convs=6, seed=72)
+    apply_batch(table, ev)
+    sync_mirror(table, dst, "m")
+
+    ev2 = gen.gen_change_events(spark, n_events=400, n_convs=6, seed=73,
+                                evolved=True)
+    pdf2 = ev2.toPandas()
+    pdf2["lsn"] = pdf2["lsn"] + 10_000
+    apply_batch(table, spark.createDataFrame(pdf2, CHANGE_EVENT_SCHEMA_V2))
+    sync_mirror(table, dst, "m")
+
+    a = read_state(table).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = read_state(dst).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)   # evolved col mirrored
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert (a[c].isna() == b[c].isna()).all()
+        assert (a[c].dropna().values == b[c].dropna().values).all()
