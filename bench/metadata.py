@@ -19,6 +19,10 @@ What is measured per table size F (driver-side, no Spark):
 - ``sharded_cold_load_sec``: full ``snapshot().files`` materialization from
   disk with a cold cache — what a full-table scan's planning still pays
   once per process, O(F) by necessity (it returns every entry).
+- ``wap_stage_sec`` / ``wap_publish_sec``: write-audit-publish metadata
+  bill — the stage marker PUT (O(adds)) and the publish (covering-shard
+  commit + idempotence lineage scan over retained snapshots); a WAP
+  pipeline pays these per batch, so both must stay ~flat in F.
 - ``n_shards``: manifest-shard count — grows with F via range splits.
 
 Run:  python bench/metadata.py [--backend posix|s3sem] [--max-files N]
@@ -153,12 +157,29 @@ def main() -> None:
             plan_wall = time.perf_counter() - t0
             assert npaths == n
 
+            # write-audit-publish at F files (runs LAST — the publish
+            # changes the live file set): the stage marker is O(adds) and
+            # the publish is the same covering-shard commit plus the
+            # idempotence lineage scan over RETAINED snapshots — both must
+            # stay flat in F (a WAP pipeline stages/publishes every batch)
+            add2 = DataFile(f"data/{'e'*32}-b00003.parquet", 3, 100, 3, 4)
+            t0 = time.perf_counter()
+            wap = table._stage_put("overwrite", [add2], [3], wap_id=None,
+                                   stream_id=None, epoch=None,
+                                   lineage={}, note=None)
+            stage_wall = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            table.publish_staged(wap)
+            publish_wall = time.perf_counter() - t0
+
             list_bytes = os.path.getsize(table._meta_path(1))
             out[n] = {
                 "monolithic_commit_sec": (round(mono_wall, 4)
                                           if mono_wall is not None else None),
                 "monolithic_bytes": mono_bytes,
                 "sharded_commit_sec": round(sharded_wall, 4),
+                "wap_stage_sec": round(stage_wall, 4),
+                "wap_publish_sec": round(publish_wall, 4),
                 "streaming_expire_sec": round(expire_wall, 4),
                 "pruned_lookup_sec": round(lookup_wall, 4),
                 "lookup_shards_loaded": shards_loaded,
