@@ -144,8 +144,12 @@ def bench_trickle(spark, base_events: int = 10_000_000,
 
     out: dict = {"base_events": base_events, "n_trickle": n_trickle,
                  "batch_events": batch_events}
-    for mode in ("cow", "mor"):
-        tdir = os.path.join(work, f"t-{mode}")
+    # mor_raw = dedupe_batch=False: land events as deltas without the
+    # per-batch LWW shuffle (the Hudi insert-path analog) — prices what
+    # the within-batch reduce costs a trickle micro-batch
+    for name, kw in (("cow", dict(mode="cow")), ("mor", dict(mode="mor")),
+                     ("mor_raw", dict(mode="mor", dedupe_batch=False))):
+        tdir = os.path.join(work, f"t-{name}")
         table = LakeTable.create(spark, tdir, STORED_TRANSCRIPT_SCHEMA,
                                  n_buckets=n_buckets)
         apply_batch(table, log.filter(log.lsn < base_events),
@@ -153,11 +157,13 @@ def bench_trickle(spark, base_events: int = 10_000_000,
         t0 = time.time()
         for b in range(n_trickle):
             batch = spark.read.parquet(os.path.join(work, f"seg-{b}"))
-            apply_batch(table, batch, collect_metrics=False, mode=mode)
-        out[f"{mode}_trickle_sec"] = round(time.time() - t0, 3)
+            apply_batch(table, batch, collect_metrics=False, **kw)
+        out[f"{name}_trickle_sec"] = round(time.time() - t0, 3)
         shutil.rmtree(tdir, ignore_errors=True)
     out["mor_speedup"] = round(out["cow_trickle_sec"]
                                / max(out["mor_trickle_sec"], 1e-9), 2)
+    out["raw_vs_mor"] = round(out["mor_trickle_sec"]
+                              / max(out["mor_raw_trickle_sec"], 1e-9), 2)
     shutil.rmtree(work, ignore_errors=True)
     return out
 

@@ -114,7 +114,8 @@ def apply_batch(table: LakeTable,
                 stream_id: str | None = None, epoch: int | None = None,
                 write_salt: int = 4, salt_min_rows: int = 200_000,
                 collect_metrics: bool = True,
-                mode: str = "cow", retries: int = 0) -> ApplyResult:
+                mode: str = "cow", retries: int = 0,
+                dedupe_batch: bool = True) -> ApplyResult:
     """Apply one micro-batch with optimistic-concurrency conflict
     handling. The merge computes against the snapshot current at its
     start and commits with ``expected_version``; if another writer (a
@@ -151,7 +152,8 @@ def apply_batch(table: LakeTable,
             res = _apply_once(table, ev, stream_id=stream_id,
                               epoch=epoch, write_salt=write_salt,
                               salt_min_rows=salt_min_rows,
-                              collect_metrics=collect_metrics, mode=mode)
+                              collect_metrics=collect_metrics, mode=mode,
+                              dedupe_batch=dedupe_batch)
             res.attempts = attempt + 1
             return res
         except CommitConflictError:
@@ -164,7 +166,8 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
                 stream_id: str | None = None, epoch: int | None = None,
                 write_salt: int = 4, salt_min_rows: int = 200_000,
                 collect_metrics: bool = True,
-                mode: str = "cow") -> ApplyResult:
+                mode: str = "cow",
+                dedupe_batch: bool = True) -> ApplyResult:
     """Apply one micro-batch of change events. Idempotent three ways:
     by (stream_id, epoch), by per-row ``_lsn`` LWW, and by exact-duplicate
     LSN collapse — so at-least-once upstream delivery still yields
@@ -278,11 +281,24 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
         # scan of the batch, not two.
         from rockefeller_spark.cdc import dedupe_lww
         census_obs = Observation("mor_census")
+        # dedupe_batch=False is the RAW-APPEND path (Hudi insert-path
+        # analog): skip the within-batch LWW shuffle entirely and land the
+        # events as delta rows as-is — read-time max-_lsn resolution gives
+        # the same answer (duplicate-LSN replays are bit-identical, so the
+        # tie is semantics-free), and compaction folds the extra versions
+        # later. For a trickle micro-batch the reduce saves almost nothing
+        # (each key appears ~once) while its exchange is the batch's only
+        # shuffle — skipping it removes a whole stage of per-batch fixed
+        # cost. The trade: deltas hold events, not winners, so read/compact
+        # amplification grows with within-batch key duplication — keep the
+        # default (dedupe) for catch-up-sized batches.
+        base = (dedupe_lww(stored_src, order_col="_lsn") if dedupe_batch
+                else stored_src)
         # the row count rides the same Observation: collect_set drops NULL
         # buckets, so "touched is empty" alone cannot distinguish an empty
         # batch from a batch whose winners all have null bucket keys — the
         # count disambiguates (the latter must NOT silently discard rows)
-        merged = dedupe_lww(stored_src, order_col="_lsn").observe(
+        merged = base.observe(
             census_obs, F.collect_set(bexpr).alias("touched"),
             F.count(F.lit(1)).alias("n_winners"))
     else:

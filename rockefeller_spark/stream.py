@@ -73,7 +73,7 @@ def json_value_transform(event_schema=None):
 
 def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
                        *, write_salt: int = 4, mode: str = "cow",
-                       retries: int = 0,
+                       retries: int = 0, dedupe_batch: bool = True,
                        metrics: MetricsLog | None = None,
                        compaction: CompactionPolicy | None = None,
                        transform: Callable[[DataFrame], DataFrame] | None = None,
@@ -98,7 +98,8 @@ def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
             batch_df = transform(batch_df)
         good, bad, qobs = split_quarantine_observed(batch_df)
         res = apply_batch(table, good, stream_id=stream_id, epoch=batch_id,
-                          write_salt=write_salt, mode=mode, retries=retries)
+                          write_salt=write_salt, mode=mode, retries=retries,
+                          dedupe_batch=dedupe_batch)
         # Dead-letter write, GATED on the bad-row count that rode the
         # apply's own census/staging scan (zero extra pass): a clean batch
         # — the steady state of a healthy stream — skips the second

@@ -247,3 +247,34 @@ def test_mor_delta_key_blooms_prune_overlapping_deltas(spark, table,
     assert new_deltas and all(f.key_bloom is None for f in new_deltas)
     assert table.lookup(key).filter(
         F.col("_lsn") >= 9_000_000).count() > 0
+
+
+def test_mor_raw_append_path_equals_oracle(spark, table):
+    """dedupe_batch=False (the Hudi insert-path analog) lands events as
+    delta rows without the per-batch LWW shuffle; read-time resolution
+    and a later compact still converge to the oracle, including
+    duplicate LSNs, tombstones, and out-of-order delivery."""
+    ev = gen.gen_change_events(spark, n_events=2500, n_convs=15, seed=331,
+                               p_delete=0.2, p_dup_lsn=0.05)
+    pdf = ev.toPandas()
+    edges = [-1, 800, 1600, 2500]
+    for lo, hi in zip(edges, edges[1:]):
+        apply_batch(table, spark.createDataFrame(
+            pdf[(pdf.lsn > lo) & (pdf.lsn <= hi)], ev.schema),
+            mode="mor", dedupe_batch=False)
+    snap = table.current()
+    assert snap.multi_version
+    # raw path: delta rows == stored events of the batch, not winners
+    total_delta_rows = sum(f.rows for f in snap.files if f.bucket is None)
+    assert total_delta_rows == len(pdf)
+    _check(table, pdf)                         # read-time LWW resolves
+    table.compact()
+    _check(table, pdf)                         # and compaction folds it
+    # blooms still stamp on the raw path (same staging write)
+    # (deltas were folded; re-add one raw batch to check)
+    apply_batch(table, spark.createDataFrame(
+        pdf[pdf.lsn > 2000].assign(lsn=pdf[pdf.lsn > 2000].lsn + 10_000),
+        ev.schema), mode="mor", dedupe_batch=False)
+    deltas = [f for f in table.current().files if f.bucket is None]
+    assert deltas and all(f.key_bloom for f in deltas)
+    _check(table, pdf)  # replayed higher-LSN identical payloads: no-op
