@@ -2535,6 +2535,56 @@ class LakeTable:
         return (self.read(buckets={b}, key_range=(key_value, key_value))
                 .filter(F.col(snap.bucket_col) == key_value))
 
+    def lookup_many(self, keys: "list[str]") -> DataFrame:
+        """Batched point lookup: N keys in ONE Spark job (the "fetch
+        these conversations" shape — N separate :meth:`lookup` calls
+        would plan and launch N jobs). Keys hash to their buckets
+        driver-side; only covering manifest shards load; each candidate
+        file is kept only if SOME key of its bucket group fits its
+        ``min_key``/``max_key`` bounds (bucket-spanning deltas: any key
+        of an annotated bucket, bloom-checked per key), then one pruned
+        scan applies the pushed ``IN`` filter. Driver cost is
+        O(covering shards + kept files × keys-in-bucket); scan cost is
+        the kept files only."""
+        keys = sorted(set(keys))
+        if not keys:
+            return self.spark.createDataFrame([], self.current().schema)
+        snap = self.current()
+        by_bucket: dict[int, list[str]] = {}
+        for k in keys:
+            by_bucket.setdefault(key_bucket(k, snap.n_buckets), []).append(k)
+        buckets = set(by_bucket)
+
+        def keep(f: DataFile) -> bool:
+            if f.bucket is not None:
+                cands = by_bucket.get(f.bucket, ())
+            else:
+                cands = [k for b in (f.buckets if f.buckets is not None
+                                     else by_bucket) if b in by_bucket
+                         for k in by_bucket[b]]
+            for k in cands:
+                if f.min_key is not None and k < f.min_key:
+                    continue
+                if f.max_key is not None and k > f.max_key:
+                    continue
+                if f.key_bloom is not None and \
+                        not bloom_might_contain(f.key_bloom, k):
+                    continue
+                return True
+            return False
+
+        kept = [f for f in snap.files_for(buckets) if keep(f)]
+        sub = Snapshot(
+            snapshot_id=snap.snapshot_id, parent_id=snap.parent_id,
+            schema=snap.schema, n_buckets=snap.n_buckets,
+            bucket_col=snap.bucket_col, files=kept,
+            committed_epochs=dict(snap.committed_epochs),
+            timestamp_ms=snap.timestamp_ms,
+            multi_version=snap.multi_version,
+            name_log=list(snap.name_log))
+        return (self.read(_snap=sub)
+                .filter(F.col(snap.bucket_col).isin(keys)))
+
     def expire_snapshots(self, keep_last: int = 2, *,
                          clean_orphans: bool = True,
                          orphan_grace_s: float = 3600.0,

@@ -278,3 +278,41 @@ def test_mor_raw_append_path_equals_oracle(spark, table):
     deltas = [f for f in table.current().files if f.bucket is None]
     assert deltas and all(f.key_bloom for f in deltas)
     _check(table, pdf)  # replayed higher-LSN identical payloads: no-op
+
+
+def test_lookup_many_single_job_prunes_per_key(spark, table):
+    """lookup_many fetches N keys in one pruned scan: only files whose
+    bounds/bloom admit SOME requested key open, and the result equals
+    per-key lookups unioned."""
+    base = gen.gen_change_events(spark, n_events=3000, n_convs=30, seed=341)
+    apply_batch(table, base)
+    # trickle deltas over interleaved conv subsets (overlapping bounds,
+    # selective blooms — same fixture shape as the bloom test)
+    convs = sorted(base.select("conv_id").distinct().toPandas().conv_id)
+    for i in range(4):
+        upd = (base.filter(F.col("conv_id").isin(convs[i::4]))
+               .withColumn("lsn", F.col("lsn") + F.lit((i + 1) * 1_000_000)))
+        apply_batch(table, upd, mode="mor")
+    want_keys = [convs[0], convs[1], convs[7]]
+    got = table.lookup_many(want_keys)
+    per_key = None
+    for k in want_keys:
+        d = table.lookup(k)
+        per_key = d if per_key is None else per_key.unionByName(d)
+    a = got.toPandas().sort_values(["conv_id", "turn_idx", "_lsn"]) \
+        .reset_index(drop=True)
+    b = per_key.toPandas().sort_values(["conv_id", "turn_idx", "_lsn"]) \
+        .reset_index(drop=True)
+    assert len(a) == len(b) and (a.conv_id.values == b.conv_id.values).all()
+    # pruning: deltas whose bloom excludes ALL requested keys don't open
+    deltas = [f for f in table.current().files if f.bucket is None]
+    opened = {p.split("/")[-1] for p in got.inputFiles()}
+    from rockefeller_spark.lake import bloom_might_contain
+    for f in deltas:
+        if not any(bloom_might_contain(f.key_bloom, k) for k in want_keys):
+            assert f.path.split("/")[-1] not in opened
+    assert any(f.path.split("/")[-1] not in opened for f in deltas), \
+        "fixture must actually prune at least one delta"
+    # empty and missing keys behave
+    assert table.lookup_many([]).count() == 0
+    assert table.lookup_many(["no-such-conv"]).count() == 0
