@@ -258,6 +258,28 @@ class FeedCursor:
             # same window: idempotent re-ack (crash between PUT+pointer)
         self.table.backend.advance_pointer(self._head, seq)
 
+    def lag(self) -> dict:
+        """Consumer-lag snapshot (the Kafka consumer-lag analog), pure
+        metadata: snapshots behind, commit-time lag in ms (current
+        snapshot's timestamp minus the acked one's), and whether the
+        acked position is still inside retention. The alerting number
+        for a fleet of derived-table consumers."""
+        cur = self.table.current()
+        pos = self.position()
+        if pos is None:
+            return {"position": None, "snapshots_behind": None,
+                    "lag_ms": None, "within_retention": True}
+        behind = cur.snapshot_id - pos
+        try:
+            acked = self.table.snapshot(pos)
+            within = True
+            lag_ms = max(0, cur.timestamp_ms - acked.timestamp_ms) \
+                if behind else 0
+        except ValueError:
+            within, lag_ms = False, None
+        return {"position": pos, "snapshots_behind": behind,
+                "lag_ms": lag_ms, "within_retention": within}
+
     def reset(self, snapshot_id: int | None = None) -> None:
         """Re-base a stale/new cursor at ``snapshot_id`` (default: the
         table's current snapshot) — pair with the consumer's full

@@ -453,3 +453,29 @@ def test_sync_mirror_survives_source_schema_evolution(spark, table,
     for c in a.columns:
         assert (a[c].isna() == b[c].isna()).all()
         assert (a[c].dropna().values == b[c].dropna().values).all()
+
+
+def test_feed_cursor_lag(spark, table):
+    from rockefeller_spark.feed import FeedCursor
+    ev = gen.gen_change_events(spark, n_events=900, n_convs=6, seed=81)
+    pdf = ev.toPandas()
+    cur = FeedCursor(table, "lagged")
+    assert cur.lag()["position"] is None
+    cur.poll()                                   # base at current
+    assert cur.lag() == {"position": table.current_version(),
+                         "snapshots_behind": 0, "lag_ms": 0,
+                         "within_retention": True}
+    for lo, hi in [(-1, 300), (300, 600), (600, 900)]:
+        _apply_half(spark, table, pdf, ev.schema, lo, hi)
+    lag = cur.lag()
+    assert lag["snapshots_behind"] == 3 and lag["lag_ms"] >= 0
+    df, tok = cur.poll()
+    cur.ack(tok)
+    assert cur.lag()["snapshots_behind"] == 0
+    # falls out of retention -> flagged
+    for lo, hi in [(0, 300), (300, 900)]:
+        _apply_half(spark, table, pdf.assign(lsn=pdf.lsn + 10_000),
+                    ev.schema, lo + 10_000, hi + 10_000)
+    table.expire_snapshots(keep_last=1)
+    lag = cur.lag()
+    assert lag["within_retention"] is False and lag["lag_ms"] is None
