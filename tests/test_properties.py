@@ -70,3 +70,26 @@ def test_engine_equals_oracle_any_log_any_batching(spark, tmp_path_factory,
     want = replay(pdf)
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False)
+
+
+@given(keys=st.sets(st.text(min_size=0, max_size=64), min_size=0,
+                    max_size=400),
+       probes=st.lists(st.text(min_size=0, max_size=64), max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_bloom_never_false_negative(keys, probes):
+    """The planner may only SKIP a delta when the bloom says definitely
+    absent — a false negative would silently drop rows from a lookup, so
+    membership must hold for every stamped key; probes measure (but don't
+    assert) the false-positive side."""
+    from rockefeller_spark.lake import bloom_from_keys, bloom_might_contain
+    if not keys:
+        return
+    b = bloom_from_keys(keys)
+    for k in keys:
+        assert bloom_might_contain(b, k)
+    # sanity: the sketch is not degenerate (all-ones) at design load
+    misses = [p for p in probes if p not in keys
+              and not bloom_might_contain(b, p)]
+    # with ~10 bits/key some probe should miss almost always when many
+    # probes exist; do not assert (legitimately flaky), just exercise
+    _ = misses
