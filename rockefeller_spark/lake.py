@@ -2425,14 +2425,32 @@ class LakeTable:
             name_log=list(base.name_log))
 
     def read_staged(self, wap_id: str, *, raw: bool = False,
-                    **read_kw) -> DataFrame:
+                    staged_only: bool = False, **read_kw) -> DataFrame:
         """Audit read of a staged commit: the table state as it WOULD be
         after publish — LWW-resolved, tombstones dropped, engine columns
         hidden — without the current pointer ever moving. ``raw=True``
         returns the unresolved stored rows instead. Accepts the same
         pruning kwargs as :meth:`read` (buckets/ts_range/key_range/
-        where)."""
-        snap = self.staged_snapshot(wap_id, read_kw.get("buckets"))
+        where).
+
+        ``staged_only=True`` reads JUST the staged files — the "what am
+        I about to publish" audit (row counts, quality gates, quarantine
+        rates over the new rows alone). Planning cost is O(adds), no
+        base manifest ever loads — the right shape when the stage is a
+        trickle batch against a 10^10-row table."""
+        if staged_only:
+            st = self._staged_obj(wap_id)
+            base = self.snapshot(st["base"])
+            snap = Snapshot(
+                snapshot_id=base.snapshot_id, parent_id=base.parent_id,
+                schema=base.schema, n_buckets=base.n_buckets,
+                bucket_col=base.bucket_col,
+                files=[DataFile.from_json(d) for d in st["adds"]],
+                committed_epochs={}, timestamp_ms=st["created_ms"],
+                multi_version=base.multi_version,
+                name_log=list(base.name_log))
+        else:
+            snap = self.staged_snapshot(wap_id, read_kw.get("buckets"))
         df = self.read(_snap=snap, **read_kw)
         if raw:
             return df

@@ -105,6 +105,14 @@ def test_wap_append_audit_then_publish(spark, table):
     audited = table.read_staged(wap)
     n_new = extra.filter(~F.col("_deleted")).count()
     assert audited.count() == len(seen_before) + n_new
+    # staged_only: just the new rows, O(adds) planning (no base files)
+    assert table.read_staged(wap, staged_only=True).count() == n_new
+    staged_files = {d["path"] for d in table.staged()[wap]["adds"]}
+    opened = {p.split(table.path + "/", 1)[-1] for p in
+              table.read_staged(wap, staged_only=True, raw=True)
+              .inputFiles()}
+    assert all(p.endswith(tuple(f.split("/")[-1] for f in staged_files))
+               for p in opened)
     assert table.staged()[wap]["rows_added"] == extra.count()
 
     snap = table.publish_staged(wap)
