@@ -91,22 +91,35 @@ class PosixBackend:
         the object-store catalog CAS: a publish carrying a version ≤ the
         current pointer is a no-op, so a replayed/delayed publish (or
         future restore tooling) cannot regress readers on one backend
-        while being a no-op on the other. Under the commit protocol's
-        ordering invariant the guard never fires (a writer of v(N+1) only
-        exists after the pointer published vN), so the read-before-rename
-        is pure insurance, not a hot-path cost."""
+        while being a no-op on the other.
+
+        The read+rename pair holds an ``flock`` on a sibling lock file:
+        with concurrent advancers (a commit racing the crash-publish
+        repair path, or FeedCursor acks) a bare read-then-rename is a
+        TOCTOU — a delayed rename could still transiently regress the
+        pointer. The lock serializes only ADVANCERS; readers stay
+        lock-free (rename is atomic). The Fake object-store backend does
+        the same check under its store-atomicity lock, so the monotonic
+        guarantee is now identical on both backends."""
+        lock = self._abs(f"{rel}.lock")
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         try:
-            if version <= self.read_pointer(rel):
-                return
-        except (FileNotFoundError, ValueError):
-            pass                           # no pointer yet / unreadable
-        tmp = self._abs(f"{rel}.{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(tmp, self._abs(rel))
-        self._fsync_dir(os.path.dirname(self._abs(rel)))
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                if version <= self.read_pointer(rel):
+                    return
+            except (FileNotFoundError, ValueError):
+                pass                       # no pointer yet / unreadable
+            tmp = self._abs(f"{rel}.{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                fh.write(str(version))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.rename(tmp, self._abs(rel))
+            self._fsync_dir(os.path.dirname(self._abs(rel)))
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     # -- blob management ---------------------------------------------------
     def read(self, rel: str) -> bytes:

@@ -216,11 +216,20 @@ def catch_up(spark: SparkSession, source: Source, table,
             if n_bad is None or n_bad:
                 from pyspark.sql import functions as F
                 import os as _os
+                # the dead-letter subdir is keyed by the chunk's START
+                # LSN, not the epoch: epoch only advances when a chunk
+                # COMMITS, so an all-quarantined chunk (which commits
+                # nothing) would otherwise share its epoch with the next
+                # chunk and the mode('overwrite') write would silently
+                # erase its dead-letter rows. The start LSN advances
+                # every chunk and is replay-stable (a rerun resumes from
+                # the committed HWM and re-reads the same span), so the
+                # overwrite stays idempotent without ever colliding.
                 (bad.withColumn("_stream_id", F.lit(stream_id))
                     .withColumn("_epoch", F.lit(epoch))
                     .write.mode("overwrite")
                     .parquet(_os.path.join(quarantine_dir,
-                                           f"{stream_id}-{epoch:08d}")))
+                                           f"{stream_id}-lsn{hwm:016d}")))
         else:
             r = apply_batch(table, chunk, stream_id=stream_id, epoch=epoch,
                             write_salt=write_salt, mode=mode,

@@ -136,6 +136,21 @@ def merge_into(table: LakeTable, source: DataFrame, *,
         bad = set(when_matched_update) & set(keys)
         if bad:
             raise ValueError(f"cannot UPDATE key columns {sorted(bad)}")
+    # Delta/Iceberg MERGE raise when several source rows match one target
+    # row; without this guard duplicate source keys would compile to
+    # multiple events for the same key at the one shared LSN with
+    # different payloads — an arbitrary LWW tie-break, i.e. a silently
+    # nondeterministic MERGE. Duplication is a property of `source` alone
+    # (not of table state), so one check outside the retry factory is
+    # enough.
+    dup = (source.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > 1).limit(1).collect())
+    if dup:
+        k = {c: dup[0][c] for c in keys}
+        raise ValueError(
+            f"MERGE source has {dup[0]['_n']} rows for key {k}; MERGE "
+            "requires each key to appear at most once in the source — "
+            "dedupe upstream (e.g. cdc.dedupe_lww) before merging")
 
     def make() -> DataFrame:
         tgt = read_state(table)

@@ -1711,6 +1711,15 @@ class LakeTable:
             ftypes = {f.name: f.dataType for f in snap.schema.fields}
             for c, rng in where.items():
                 lo, hi = rng
+                if lo is None and hi is None:
+                    # (None, None) is "no constraint": without this skip
+                    # the all-NULL null-count prune below would drop files
+                    # (and so rows) that no row-level filter ever excludes
+                    if c not in ("ts", "_lsn", snap.bucket_col) \
+                            and c not in ftypes:
+                        raise ValueError(f"where column {c!r} is not in "
+                                         "the table schema")
+                    continue
                 if c == "ts":
                     if ts_range is not None:
                         raise ValueError("pass ts bounds via ts_range or "
@@ -2451,16 +2460,86 @@ class LakeTable:
                 name_log=list(base.name_log))
         else:
             snap = self.staged_snapshot(wap_id, read_kw.get("buckets"))
-        df = self.read(_snap=snap, **read_kw)
         if raw:
-            return df
+            return self.read(_snap=snap, **read_kw)
         if snap.multi_version:
+            # On a multi-version snapshot the pruning kwargs split by
+            # whether the predicate is a function of the DEDUPE KEY:
+            # buckets/key_range are (every version of a key shares its
+            # key, so file pruning + row filters commute with the LWW
+            # resolve), but ts_range/where look at version-varying
+            # columns — applied BEFORE the resolve they can resurrect a
+            # superseded version (old version in range, newer one pruned
+            # out) — so those run as exact row filters AFTER dedupe_lww,
+            # mirroring merge.read_state. Bucket-spanning delta rows are
+            # additionally row-filtered to the requested buckets (file
+            # pruning alone cannot exclude their other-bucket rows).
+            unknown = set(read_kw) - {"buckets", "ts_range", "key_range",
+                                      "where"}
+            if unknown:
+                raise ValueError(f"read_staged: unsupported kwargs on a "
+                                 f"multi-version stage: {sorted(unknown)}")
+            buckets = read_kw.get("buckets")
+            df = self.read(_snap=snap, buckets=buckets,
+                           key_range=read_kw.get("key_range"))
+            if buckets is not None:
+                df = df.filter(bucket_expr(snap.bucket_col, snap.n_buckets)
+                               .isin(sorted(buckets)))
             from rockefeller_spark.cdc import dedupe_lww
             df = dedupe_lww(df, order_col="_lsn")
+            df = self._row_range_filter(df, snap,
+                                        ts_range=read_kw.get("ts_range"),
+                                        where=read_kw.get("where"))
+        else:
+            df = self.read(_snap=snap, **read_kw)
         from rockefeller_spark import schema as S
         user_cols = [f.name for f in snap.schema.fields
                      if f.name not in S.META_COLS]
         return df.filter(~F.col("_deleted")).select(*user_cols)
+
+    def _row_range_filter(self, df: DataFrame, snap: "Snapshot", *,
+                          ts_range: "tuple | None" = None,
+                          where: "dict[str, tuple] | None" = None) \
+            -> DataFrame:
+        """Exact row-level closed-range filters with :meth:`read`'s
+        semantics but NO file pruning — :meth:`read_staged` applies these
+        AFTER LWW resolution on multi-version snapshots, where a
+        version-sensitive filter evaluated pre-dedupe would be wrong."""
+        ftypes = {f.name: f.dataType for f in snap.schema.fields}
+
+        def rng(col: str, lo, hi, is_ts: bool) -> None:
+            nonlocal df
+            if is_ts:
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.timestamp_micros(
+                        F.lit(self._ts_micros(lo))))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.timestamp_micros(
+                        F.lit(self._ts_micros(hi))))
+            else:
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
+
+        if ts_range is not None:
+            if where and "ts" in where:
+                raise ValueError("pass ts bounds via ts_range or "
+                                 "where['ts'], not both")
+            rng("ts", ts_range[0], ts_range[1], True)
+        for c, (lo, hi) in (where or {}).items():
+            if lo is None and hi is None:
+                continue
+            if c == "ts":
+                rng("ts", lo, hi, True)
+            elif c == "_lsn" or c == snap.bucket_col:
+                rng(c, lo, hi, False)
+            else:
+                if c not in ftypes:
+                    raise ValueError(f"where column {c!r} is not in the "
+                                     "table schema")
+                rng(c, lo, hi, isinstance(ftypes[c], T.TimestampType))
+        return df
 
     def publish_staged(self, wap_id: str, *, max_races: int = 3) -> Snapshot:
         """Atomically make a staged commit visible (Iceberg cherry-pick /

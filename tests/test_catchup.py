@@ -255,3 +255,36 @@ def test_jdbc_span_bound_reaches_the_subquery():
     # bounds-discovery round-trip for a span-bounded read
     assert opts["upperBound"] == "4100"
     assert opts["lowerBound"] == "101"
+
+
+def test_all_bad_chunk_does_not_erase_prior_dead_letters(spark, tmp_path):
+    """The dead-letter subdir must be keyed by a value that advances
+    every CHUNK, not by epoch: an all-quarantined chunk commits nothing,
+    so epoch does not advance, and an epoch-keyed mode('overwrite')
+    write from the next chunk would silently erase its rows."""
+    import os
+
+    ev = gen.gen_change_events(spark, n_events=3000, n_convs=20, seed=33)
+    good = ev.filter((F.col("lsn") <= 999) | (F.col("lsn") > 1999))
+    bads = None
+    for l in (500, 1500, 2500):                 # one bad row per chunk;
+        b = (ev.limit(1)                        # chunk 2 is ENTIRELY bad
+             .withColumn("lsn", F.lit(l).cast("long"))
+             .withColumn("conv_id", F.lit(None).cast("string")))
+        bads = b if bads is None else bads.unionByName(b)
+    wal = str(tmp_path / "wal")
+    good.unionByName(bads).write.parquet(wal)
+
+    t = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "q")
+    res = catch_up(spark, FileSource(wal), t, "cu", chunk_lsns=1000,
+                   quarantine_dir=qdir)
+    assert res.chunks_read >= 3
+    q = spark.read.parquet(qdir + "/*")
+    assert sorted(r["lsn"] for r in q.select("lsn").collect()) \
+        == [500, 1500, 2500]
+    # one subdir per chunk that held bad rows (an empty trailing dir from
+    # the drain-probe chunk is fine — its observation never materializes)
+    assert len(os.listdir(qdir)) >= 3
+    # the walk itself stayed correct: no bad row reached the table
+    assert read_state(t).filter(F.col("conv_id").isNull()).count() == 0

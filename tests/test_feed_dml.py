@@ -479,3 +479,19 @@ def test_feed_cursor_lag(spark, table):
     table.expire_snapshots(keep_last=1)
     lag = cur.lag()
     assert lag["within_retention"] is False and lag["lag_ms"] is None
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, table):
+    """Delta/Iceberg MERGE raise when several source rows match one
+    target key; duplicates would compile to multiple events at the one
+    shared LSN and an arbitrary LWW tie-break — nondeterministic MERGE."""
+    from rockefeller_spark.dml import merge_into
+    ev = gen.gen_change_events(spark, n_events=300, n_convs=4, seed=63)
+    apply_batch(table, ev)
+    state = read_state(table).toPandas()
+    src = spark.createDataFrame(state)
+    dup = src.limit(1).withColumn("text", F.lit("other-payload"))
+    with pytest.raises(ValueError, match="at most once"):
+        merge_into(table, src.unionByName(dup))
+    # the table is untouched — the guard fires before any event compiles
+    assert read_state(table).count() == len(state)

@@ -663,3 +663,18 @@ def test_describe_summarizes_table(spark, table):
     assert d["retained_snapshots"] == [0, 1]
     assert "conv_id" in d["schema"] and d["bucket_col"] == "conv_id"
     assert d["staged"] == {} and d["multi_version"] is False
+
+
+def test_where_none_none_is_no_constraint(spark, table):
+    """where={col: (None, None)} carries no row-level filter, so it must
+    not prune anything either — in particular not all-NULL files via the
+    null-count rule (that prune is only sound under a real range)."""
+    ev = gen.gen_change_events(spark, n_events=500, n_convs=5, seed=284)
+    from rockefeller_spark.cdc import winners_to_stored
+    stored = winners_to_stored(ev)
+    table.append(stored.withColumn("tool", F.lit(None).cast("string")))
+    df = table.read(where={"tool": (None, None)})
+    assert df.count() == stored.count()
+    # schema validation still applies to skipped entries
+    with pytest.raises(ValueError, match="not in the table schema"):
+        table.read(where={"nope": (None, None)})

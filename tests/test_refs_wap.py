@@ -276,3 +276,59 @@ def test_crashed_publish_does_not_wedge_commits(spark, table, monkeypatch):
     want = replay(pdf).sort_values(["conv_id", "turn_idx"]) \
         .reset_index(drop=True)
     assert (got[want.columns.tolist()].values == want.values).all()
+
+
+# ------------------------------------------------ read_staged audit filters
+
+def _events(spark, rows):
+    from rockefeller_spark.schema import CHANGE_EVENT_SCHEMA
+    return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+
+def test_read_staged_filters_after_lww_on_multiversion(spark, table):
+    """On a multi-version stage, version-sensitive filters (ts_range /
+    where) must apply AFTER the LWW resolve: filtering files/rows first
+    can resurrect a superseded version (old version in range, newer one
+    filtered out) and a WAP quality gate would then audit wrong data."""
+    from datetime import datetime
+    jan, jun = datetime(2024, 1, 15), datetime(2024, 6, 15)
+    apply_batch(table, _events(
+        spark, [(1, "I", "conv-x", 1, "user", "old", None, jan, jan)]),
+        mode="mor")
+    apply_batch(table, _events(
+        spark, [(2, "U", "conv-x", 1, "user", "new", None, jun, jun)]),
+        mode="mor")
+    extra = _stored_extra(spark, 77, "staged", n_events=50, n_convs=3)
+    wap = table.stage_append(extra)
+
+    # conv-x's WINNING version (jun) is outside the requested range: the
+    # key must be absent — the superseded jan version must not resurface
+    got = table.read_staged(wap, ts_range=(datetime(2024, 1, 1),
+                                           datetime(2024, 2, 1)))
+    assert got.filter(F.col("conv_id") == "conv-x").count() == 0
+    # where= on a version-varying payload column is post-resolve too
+    got = table.read_staged(wap, where={"text": ("old", "old")})
+    assert got.filter(F.col("conv_id") == "conv-x").count() == 0
+    # and the winner IS returned when its own values qualify
+    rows = (table.read_staged(wap, ts_range=(datetime(2024, 6, 1),
+                                             datetime(2024, 7, 1)))
+            .filter(F.col("conv_id") == "conv-x").collect())
+    assert len(rows) == 1 and rows[0]["text"] == "new"
+    table.abandon_staged(wap)
+
+
+def test_read_staged_bucket_read_excludes_delta_leak(spark, table):
+    """buckets= on a multi-version stage must row-filter bucket-spanning
+    delta rows to the requested buckets (file pruning alone cannot
+    exclude their other-bucket rows)."""
+    ev = gen.gen_change_events(spark, n_events=400, n_convs=8, seed=78)
+    apply_batch(table, ev, mode="mor")           # bucket-spanning deltas
+    wap = table.stage_append(
+        _stored_extra(spark, 79, "st", n_events=50, n_convs=2))
+    n = table.current().n_buckets
+    b = key_bucket(read_state(table).first()["conv_id"], n)
+    got = table.read_staged(wap, buckets={b})
+    convs = [r["conv_id"] for r in got.select("conv_id").distinct().collect()]
+    assert convs
+    assert all(key_bucket(c, n) == b for c in convs)
+    table.abandon_staged(wap)
