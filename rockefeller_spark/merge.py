@@ -74,6 +74,12 @@ class ApplyResult:
     # streaming throughput at high trigger rates (bench_stream reports
     # the aggregate breakdown so that cost is a number, not a guess).
     timings: dict | None = None
+    # approximate distinct-key count of the batch (HLL, rides the MOR
+    # raw-append census observation — only stamped on that path, where
+    # no exact winner count exists). events_in / key_estimate is the
+    # within-batch duplication ratio the streaming auto-dedupe policy
+    # feeds back on.
+    key_estimate: int | None = None
 
     def lineage(self) -> dict[str, Any]:
         return {} if self.snapshot is None else self.snapshot.lineage
@@ -298,9 +304,18 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
         # buckets, so "touched is empty" alone cannot distinguish an empty
         # batch from a batch whose winners all have null bucket keys — the
         # count disambiguates (the latter must NOT silently discard rows)
-        merged = base.observe(
-            census_obs, F.collect_set(bexpr).alias("touched"),
-            F.count(F.lit(1)).alias("n_winners"))
+        census_aggs = [F.collect_set(bexpr).alias("touched"),
+                       F.count(F.lit(1)).alias("n_winners")]
+        if not dedupe_batch:
+            # raw-append sketches the batch's distinct keys too (HLL,
+            # same pass): events_in/key_estimate is the duplication ratio
+            # the streaming auto policy uses to fall back to dedupe when
+            # replays/hot-key churn would inflate the deltas
+            census_aggs.append(
+                F.approx_count_distinct(
+                    F.xxhash64(*[F.col(c) for c in S.KEY_COLS]))
+                .alias("n_keys"))
+        merged = base.observe(census_obs, *census_aggs)
     else:
         target = table.read(buckets=touched)
         if snap.multi_version:
@@ -386,10 +401,12 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
     adds = table._stage_write(merged, snap.n_buckets, snap.bucket_col,
                               pre_bucketed=True, span_buckets=(mode == "mor"))
     t_stage = time.time() - _t0
+    key_est = None
     if mode == "mor":
         # the staging write was the census action — read the observation
         census = census_obs.get
         touched = set(census["touched"])
+        key_est = census.get("n_keys")
         if census["n_winners"] == 0:
             # empty batch: nothing was written worth keeping (at most a
             # zero-row parquet) — drop the orphans now and skip the commit
@@ -482,6 +499,7 @@ def _apply_once(table: LakeTable, events: DataFrame, *,
     return ApplyResult(new_snap, events_in=events_in, winners=None,
                        buckets_touched=sorted(touched),
                        rows_written=rows_written, rebased=rebased,
+                       key_estimate=key_est,
                        timings={"census_s": round(t_census, 4),
                                 "stage_s": round(t_stage, 4),
                                 "commit_s": round(t_commit, 4),

@@ -71,9 +71,25 @@ def json_value_transform(event_schema=None):
     return _tx
 
 
+# Auto raw-append policy bounds (make_batch_applier(dedupe_batch="auto")).
+# The within-batch LWW dedupe is the MOR micro-batch's ONLY shuffle stage;
+# for a trickle batch the reduce saves almost nothing (each key appears
+# ~once) while its exchange is pure per-batch fixed cost — skipping it
+# measured 1.74x on the trickle shape (BENCH/BASELINE.md round 7). It stays
+# worth paying when (a) the batch is big enough that one more stage
+# amortizes, or (b) within-batch duplication is high enough that writing
+# raw events would inflate the deltas (catch-up batches: winners cut ~75%
+# of write volume). The policy feeds back on the PREVIOUS batch's measured
+# size and duplication ratio (stream batches are auto-correlated; the
+# numbers ride the apply's own Observation — zero extra Spark work).
+RAW_APPEND_MAX_ROWS_PER_REDUCER = 16_384   # below: the shuffle is floor cost
+RAW_APPEND_MAX_DUP_RATIO = 1.25            # above: dedupe pays in write volume
+
+
 def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
                        *, write_salt: int = 4, mode: str = "cow",
-                       retries: int = 0, dedupe_batch: bool = True,
+                       retries: int = 0,
+                       dedupe_batch: "bool | str" = "auto",
                        metrics: MetricsLog | None = None,
                        compaction: CompactionPolicy | None = None,
                        transform: Callable[[DataFrame], DataFrame] | None = None,
@@ -87,19 +103,53 @@ def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
     → count-gated epoch-keyed quarantine write → metrics → optional
     auto-maintenance (:func:`maintenance.maintain`).
 
+    ``dedupe_batch`` (``mode="mor"`` only): ``True`` always LWW-dedupes
+    the batch before the delta append, ``False`` always raw-appends
+    (Hudi insert-path analog — read-time LWW makes the answer identical
+    either way), and ``"auto"`` (default) picks per batch: raw-append
+    when the previous batch was trickle-sized AND its duplication ratio
+    was low (see the policy constants above), dedupe otherwise. The
+    first batch of a stream dedupes (conservative: it may be a huge
+    catch-up backlog). CoW ignores the knob — its fused merge dedupes
+    inherently.
+
     ``retries`` > 0 is REQUIRED when more than one writer targets the
     table (a second stream, a concurrent compactor/DML): a losing commit
     first tries the metadata-only rebase, then recomputes up to
     ``retries`` times (see :func:`merge.apply_batch`). Single-writer
     deployments keep 0 (fail fast)."""
+    if dedupe_batch not in (True, False, "auto"):
+        raise ValueError("dedupe_batch: True, False, or 'auto'")
+    auto = dedupe_batch == "auto" and mode == "mor"
+    policy = {"dedupe": True}          # auto state: first batch dedupes
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
         if transform is not None:
             batch_df = transform(batch_df)
         good, bad, qobs = split_quarantine_observed(batch_df)
+        use_dedupe = (policy["dedupe"] if auto
+                      else (True if dedupe_batch == "auto"
+                            else bool(dedupe_batch)))
         res = apply_batch(table, good, stream_id=stream_id, epoch=batch_id,
                           write_salt=write_salt, mode=mode, retries=retries,
-                          dedupe_batch=dedupe_batch)
+                          dedupe_batch=use_dedupe)
+        if auto and res.events_in:
+            spark_ = batch_df.sparkSession
+            try:
+                n_red = int(spark_.conf.get("spark.sql.shuffle.partitions"))
+            except Exception:
+                n_red = spark_.sparkContext.defaultParallelism
+            small = (res.events_in
+                     <= RAW_APPEND_MAX_ROWS_PER_REDUCER * max(n_red, 1))
+            if use_dedupe:
+                dup = res.events_in / max(res.rows_written
+                                          or res.events_in, 1)
+            else:
+                dup = res.events_in / max(res.key_estimate
+                                          or res.events_in, 1)
+            policy["dedupe"] = not (small
+                                    and dup <= RAW_APPEND_MAX_DUP_RATIO)
         # Dead-letter write, GATED on the bad-row count that rode the
         # apply's own census/staging scan (zero extra pass): a clean batch
         # — the steady state of a healthy stream — skips the second
@@ -138,6 +188,8 @@ def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
                    "quarantine_s": round(t_quar, 4),
                    "maintain_s": round(t_maint, 4),
                    "batch_total_s": round(time.time() - t0, 4)}
+            if mode == "mor":
+                row["dedupe_batch"] = use_dedupe
             if res.timings:
                 row.update(res.timings)
             timings.append(row)
@@ -154,6 +206,7 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
                write_salt: int = 4,
                mode: str = "cow",
                retries: int = 0,
+               dedupe_batch: "bool | str" = "auto",
                dedup_in_stream: bool = False,
                metrics: MetricsLog | None = None,
                quarantine_dir: str | None = None,
@@ -174,6 +227,11 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
     (default ``<table>/quarantine``) instead of the lake. Quarantine
     writes are per-epoch overwrites, so a replayed micro-batch is
     idempotent there too.
+
+    ``dedupe_batch`` (``mode="mor"`` only) picks the delta write shape
+    per batch — see :func:`make_batch_applier`; the ``"auto"`` default
+    raw-appends trickle micro-batches (skipping the batch's only shuffle
+    stage) and falls back to LWW dedupe for big or duplicate-heavy ones.
 
     ``compaction`` (recommended for ``mode="mor"``) runs the maintenance
     policy after each commit: without it, MOR deltas accumulate forever —
@@ -199,7 +257,8 @@ def run_stream(spark: SparkSession, source_dir: str, table: LakeTable,
     sid = stream_id_for(checkpoint_dir)
     qdir = quarantine_dir or os.path.join(table.path, "quarantine")
     _apply = make_batch_applier(table, sid, qdir, write_salt=write_salt,
-                                mode=mode, retries=retries, metrics=metrics,
+                                mode=mode, retries=retries,
+                                dedupe_batch=dedupe_batch, metrics=metrics,
                                 compaction=compaction, timings=timings)
 
     writer = (events.writeStream

@@ -314,3 +314,51 @@ def test_json_value_transform_parses_and_poison_pills(spark, tmp_path):
     assert len(state) == 1 and state.text.iloc[0] == "hello"
     bad = spark.read.parquet(os.path.join(qdir, "kafka-sid-00000000"))
     assert bad.count() == 1
+
+
+def test_auto_raw_append_policy_on_trickle(spark, tmp_path):
+    """dedupe_batch="auto" (the default): the first MOR batch dedupes
+    (conservative — it may be a whole backlog), then trickle batches
+    with low within-batch duplication raw-append (skipping the batch's
+    only shuffle stage), and the visible state still equals the oracle
+    (read-time LWW makes the two write shapes answer-identical)."""
+    src = str(tmp_path / "wal")
+    table = LakeTable.create(spark, str(tmp_path / "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=1200, n_convs=16, seed=141,
+                               num_partitions=6)
+    # unique key per event => within-batch duplication ratio ~1.0
+    ev = ev.withColumn("conv_id", F.concat(F.lit("c"), F.col("lsn")))
+    ev.write.mode("overwrite").parquet(src)
+    timings = []
+    drain(spark, src, table, str(tmp_path / "ck"), mode="mor",
+          max_files_per_trigger=1, timings=timings)
+    flags = [r["dedupe_batch"] for r in timings if "dedupe_batch" in r]
+    assert len(flags) >= 3
+    assert flags[0] is True                 # conservative first batch
+    assert not any(flags[1:])               # trickle + low dup -> raw
+    got = _canon(read_state(table).toPandas())
+    want = _canon(replay(ev.toPandas()))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+
+def test_auto_policy_keeps_dedupe_under_heavy_duplication(spark, tmp_path):
+    """A duplicate-heavy trickle (hot keys rewritten every batch) must
+    keep the LWW dedupe: raw-appending it would inflate the deltas with
+    superseded versions for no shuffle savings worth having."""
+    src = str(tmp_path / "wal")
+    table = LakeTable.create(spark, str(tmp_path / "t"),
+                             STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=1200, n_convs=2, seed=142,
+                               num_partitions=6)   # tiny keyspace: dup-heavy
+    ev.write.mode("overwrite").parquet(src)
+    timings = []
+    drain(spark, src, table, str(tmp_path / "ck"), mode="mor",
+          max_files_per_trigger=1, timings=timings)
+    flags = [r["dedupe_batch"] for r in timings if "dedupe_batch" in r]
+    assert len(flags) >= 3 and all(flags)
+    got = _canon(read_state(table).toPandas())
+    want = _canon(replay(ev.toPandas()))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
