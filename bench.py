@@ -198,6 +198,8 @@ def bench_catchup(spark, n_events: int = 10_000_000, n_chunks: int = 8,
     out["oneshot_sec"] = round(time.time() - t0, 3)
     shutil.rmtree(tdir, ignore_errors=True)
 
+    # primary: the DEFAULT auto-sized walk (spans grow off the stage floor,
+    # row-budget bounded) — seeded at the same small span the fixed leg uses
     tdir = os.path.join(work, "t-chunked")
     table = LakeTable.create(spark, tdir, STORED_TRANSCRIPT_SCHEMA,
                              n_buckets=n_buckets)
@@ -206,10 +208,26 @@ def bench_catchup(spark, n_events: int = 10_000_000, n_chunks: int = 8,
                    chunk_lsns=n_events // n_chunks, mode="mor")
     out["chunked_sec"] = round(time.time() - t0, 3)
     out["chunks_committed"] = res.chunks_committed
+    out["spans"] = res.spans
     out["events_per_sec"] = round(res.events / max(out["chunked_sec"], 1e-9), 1)
     out["chunking_overhead_x"] = round(out["chunked_sec"]
                                        / max(out["oneshot_sec"], 1e-9), 2)
     out["walls"] = res.walls
+    shutil.rmtree(tdir, ignore_errors=True)
+
+    # comparison: fixed spans (the pre-round-8 default) — what a user who
+    # pins max_chunk_rows=None pays for n_chunks stage floors
+    tdir = os.path.join(work, "t-fixed")
+    table = LakeTable.create(spark, tdir, STORED_TRANSCRIPT_SCHEMA,
+                             n_buckets=n_buckets)
+    t0 = time.time()
+    resf = catch_up(spark, FileSource(wal), table, "bench",
+                    chunk_lsns=n_events // n_chunks, max_chunk_rows=None,
+                    mode="mor")
+    out["fixed_span_sec"] = round(time.time() - t0, 3)
+    out["fixed_span_chunks"] = resf.chunks_committed
+    out["fixed_span_overhead_x"] = round(out["fixed_span_sec"]
+                                         / max(out["oneshot_sec"], 1e-9), 2)
     shutil.rmtree(work, ignore_errors=True)
     return out
 
@@ -246,7 +264,7 @@ def _stream_breakdown(batch_timings: list, wall: float) -> dict:
 
 
 def bench_stream(spark, n_events: int = 16_000_000, n_segments: int = 8,
-                 n_buckets: int = 256, repeats: int = 2) -> dict:
+                 n_buckets: int = 256, repeats: int = 3) -> dict:
     """End-to-end Structured Streaming leg — the north rule's actual
     shape: ``readStream`` over a WAL directory → dead-letter split →
     salted MOR apply → per-batch maintenance policy, driven by
@@ -815,6 +833,8 @@ def main() -> None:
     if catchup is not None:
         summary["catchup_events_per_sec"] = catchup["events_per_sec"]
         summary["catchup_overhead_x"] = catchup["chunking_overhead_x"]
+        summary["catchup_fixed_span_overhead_x"] = \
+            catchup["fixed_span_overhead_x"]
     out = {
         "metric": detail["metric"],
         "value": total,

@@ -62,6 +62,7 @@ class CatchUpResult:
     failures: int = 0               # transient read failures absorbed
     final_hwm: int | None = None    # LSN high-water mark after the walk
     final_span: int = 0             # span in effect when the walk ended
+    spans: list[int] = field(default_factory=list)  # span used per chunk
     snapshots: list[int] = field(default_factory=list)
     walls: dict[str, float] = field(default_factory=dict)
 
@@ -132,6 +133,8 @@ def catch_up(spark: SparkSession, source: Source, table,
              min_chunk_lsns: int = 10_000,
              ladder_factor: int = 5,
              read_retries: int = 6,
+             max_chunk_rows: "int | None" = 20_000_000,
+             span_growth: int = 16,
              mode: str = "cow",
              write_salt: int = 4,
              retries: int = 0,
@@ -139,7 +142,26 @@ def catch_up(spark: SparkSession, source: Source, table,
              quarantine_dir: str | None = None,
              apply_kwargs: dict[str, Any] | None = None) -> CatchUpResult:
     """Apply everything the source holds beyond the table's LSN
-    high-water mark, in bounded spans of at most ``chunk_lsns`` LSNs.
+    high-water mark, in bounded spans — starting at ``chunk_lsns`` LSNs
+    and AUTO-SIZING from there (``max_chunk_rows`` is not None, the
+    default): each chunk pays a fixed Spark stage-launch floor (~1.6 s
+    on this box), so fixed small spans on a dense WAL are almost pure
+    overhead (measured 11.4x at 1M-LSN spans over a 10M-event backlog —
+    BENCH/BASELINE.md round 7). After each chunk the span grows by up to
+    ``span_growth``x, bounded by the ROW budget: the measured row
+    density (rows per LSN, EWMA over committed chunks) projects the span
+    onto ``max_chunk_rows``, so the shuffle working set stays bounded no
+    matter how dense the WAL — on a dense backlog the span converges to
+    ~``max_chunk_rows`` rows per chunk, on a sparse one it widens until
+    rows bound it. ``max_chunk_rows=None`` disables auto-sizing (fixed
+    ``chunk_lsns`` spans, the pre-round-8 behavior).
+
+    Transport safety is AIMD: a chunk that needed ladder shrinks records
+    a span CEILING at 2x the span that finally succeeded (the server
+    told us its limit; do not re-ask for 16x that), and each clean chunk
+    at the ceiling doubles it — gentle additive probing up, multiplicative
+    decrease on failure, exactly the reference collector's behavior
+    generalized (``/root/reference/scripts/collector.py:222-233``).
 
     ``read_retries`` bounds the CONSECUTIVE failures absorbed for one
     chunk; each failure shrinks the span by ``ladder_factor`` until
@@ -163,6 +185,11 @@ def catch_up(spark: SparkSession, source: Source, table,
         raise ValueError("chunk_lsns and min_chunk_lsns must be >= 1")
     if ladder_factor < 2:
         raise ValueError("ladder_factor must be >= 2")
+    auto = max_chunk_rows is not None
+    if auto and max_chunk_rows < 1:
+        raise ValueError("max_chunk_rows must be >= 1 (or None to disable)")
+    if auto and span_growth < 2:
+        raise ValueError("span_growth must be >= 2")
     min_chunk_lsns = min(min_chunk_lsns, chunk_lsns)
 
     res = CatchUpResult()
@@ -171,7 +198,20 @@ def catch_up(spark: SparkSession, source: Source, table,
     hwm = -1 if hwm is None else int(hwm)
     epoch = table.current().committed_epochs.get(stream_id, -1) + 1
     span = chunk_lsns
+    ceiling: int | None = None   # AIMD transport ceiling (None = unprobed)
+    density = 0.0                # rows per LSN, EWMA over committed chunks
     t_read = t_apply = 0.0
+
+    def _grow(cur: int) -> int:
+        """Next span: up to ``span_growth``x the current one, projected
+        onto the row budget by the measured density, never past the AIMD
+        transport ceiling, never below the ladder floor."""
+        target = cur * span_growth
+        if density > 0.0:
+            target = min(target, int(max_chunk_rows / density))
+        if ceiling is not None:
+            target = min(target, ceiling)
+        return max(min_chunk_lsns, target)
 
     while max_chunks is None or res.chunks_read < max_chunks:
         # -- one bounded chunk, with the degrading ladder ---------------
@@ -199,6 +239,16 @@ def catch_up(spark: SparkSession, source: Source, table,
                                 "span to %d lsns", stream_id, e, span)
         t_read += time.time() - _t
         res.chunks_read += 1
+        res.spans.append(span)
+        if auto:
+            if fails_this_chunk:
+                # the ladder just probed the transport's limit: remember a
+                # ceiling at 2x the span that finally succeeded (the server
+                # told us what it can serve; do not re-ask for 16x that)
+                ceiling = max(min_chunk_lsns, span * 2)
+            elif ceiling is not None and span >= ceiling:
+                # a clean chunk at the ceiling: probe gently upward
+                ceiling *= 2
 
         _t = time.time()
         if quarantine_dir is not None:
@@ -243,10 +293,16 @@ def catch_up(spark: SparkSession, source: Source, table,
             res.rows_written += r.rows_written
             epoch += 1
             hwm += span
-            # recover the span after a clean chunk (gentler than the
-            # shrink: one bad window shouldn't tax the whole backlog,
-            # but flapping between extremes is worse)
-            if span < chunk_lsns:
+            if auto:
+                if r.events_in:
+                    d = r.events_in / span
+                    density = d if density <= 0.0 \
+                        else 0.5 * density + 0.5 * d
+                span = _grow(span)
+            elif span < chunk_lsns:
+                # fixed-span mode: recover the span after a clean chunk
+                # (gentler than the shrink: one bad window shouldn't tax
+                # the whole backlog, but flapping between extremes is worse)
                 span = min(chunk_lsns, span * 2)
             continue
 
@@ -271,6 +327,11 @@ def catch_up(spark: SparkSession, source: Source, table,
         hwm += span
         if drained:
             break
+        if auto:
+            # a sparse-LSN gap: widen so the gap is crossed in O(log gap)
+            # empty chunks instead of gap/span of them (density is left
+            # untouched — an empty span says nothing about row density)
+            span = _grow(span)
 
     res.final_hwm = hwm
     res.final_span = span

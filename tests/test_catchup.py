@@ -83,7 +83,10 @@ def oneshot_state(spark, tmp_path_factory):
 def test_chunked_catch_up_matches_one_shot(spark, tmp_path, oneshot_state):
     t = _mk_table(spark, tmp_path)
     src = GeneratorSource(n_events=N, n_convs=CONVS, seed=SEED)
-    res = catch_up(spark, src, t, "cu", chunk_lsns=3000)
+    # max_chunk_rows bounds the auto-sizer to ~3000-row chunks (density is
+    # ~1 row/LSN here), so the walk genuinely happens in spans
+    res = catch_up(spark, src, t, "cu", chunk_lsns=3000,
+                   max_chunk_rows=3000)
     assert res.chunks_committed >= 6              # actually walked in spans
     assert res.degradations == 0 and res.failures == 0
     assert _state(t) == oneshot_state
@@ -91,7 +94,8 @@ def test_chunked_catch_up_matches_one_shot(spark, tmp_path, oneshot_state):
     assert t.current().committed_epochs["cu"] == res.chunks_committed - 1
     assert res.events == N
     # a second walk over a drained source commits nothing (resume no-op)
-    res2 = catch_up(spark, src, t, "cu", chunk_lsns=3000)
+    res2 = catch_up(spark, src, t, "cu", chunk_lsns=3000,
+                    max_chunk_rows=3000)
     assert res2.chunks_committed == 0 and res2.events == 0
     assert _state(t) == oneshot_state
 
@@ -141,10 +145,12 @@ def test_partial_walk_resumes_without_rereading(spark, tmp_path,
                                                 oneshot_state):
     t = _mk_table(spark, tmp_path)
     src = GeneratorSource(n_events=N, n_convs=CONVS, seed=SEED)
-    res1 = catch_up(spark, src, t, "cu", chunk_lsns=3000, max_chunks=2)
+    res1 = catch_up(spark, src, t, "cu", chunk_lsns=3000, max_chunks=2,
+                    max_chunk_rows=3000)
     assert res1.chunks_committed == 2
     hwm_after_1 = t.stats()["max_lsn"]
-    res2 = catch_up(spark, src, t, "cu", chunk_lsns=3000)
+    res2 = catch_up(spark, src, t, "cu", chunk_lsns=3000,
+                    max_chunk_rows=3000)
     # resumed beyond the committed HWM, from the NEXT epoch
     assert res2.snapshots[0] > res1.snapshots[-1]
     assert t.current().committed_epochs["cu"] == (res1.chunks_committed +
@@ -163,7 +169,10 @@ def test_sparse_lsn_gap_is_walked_not_mistaken_for_drain(spark, tmp_path):
     ev.filter((F.col("lsn") <= 2000) | (F.col("lsn") > 18_000)) \
       .write.parquet(wal)
     t = _mk_table(spark, tmp_path)
-    res = catch_up(spark, FileSource(wal), t, "cu", chunk_lsns=1000)
+    # fixed-span mode (max_chunk_rows=None) keeps the empty-gap chunks
+    # observable; the auto-sizer's gap behavior has its own test below
+    res = catch_up(spark, FileSource(wal), t, "cu", chunk_lsns=1000,
+                   max_chunk_rows=None)
     assert res.chunks_read > res.chunks_committed  # empty gap spans read
     got = {r[0] for r in t.read().select("_lsn").collect()}
     assert got and all(l <= 2000 or l > 18_000 for l in got)
@@ -188,6 +197,71 @@ def test_catch_up_quarantines_bad_rows(spark, tmp_path):
     assert res.chunks_committed >= 2
     assert spark.read.parquet(qdir + "/*").count() == 3
     assert read_state(t).count() > 0
+
+
+def test_auto_span_grows_then_row_budget_bounds(spark, tmp_path,
+                                                oneshot_state):
+    """The auto-sizer (the default) must escape the stage-floor regime:
+    spans grow by up to span_growth x per committed chunk, but the
+    measured row density projects them onto max_chunk_rows so the shuffle
+    working set stays bounded on a dense WAL."""
+    t = _mk_table(spark, tmp_path)
+    src = GeneratorSource(n_events=N, n_convs=CONVS, seed=SEED)
+    res = catch_up(spark, src, t, "cu", chunk_lsns=500,
+                   max_chunk_rows=4000, span_growth=16)
+    assert _state(t) == oneshot_state
+    # grew from the seed span...
+    assert res.spans[0] == 500
+    assert max(res.spans) > 500
+    # ...but the row budget bound it: density is ~1 row/LSN, so no span
+    # may exceed ~max_chunk_rows (2x slack for EWMA settling)
+    assert max(res.spans) <= 8000
+    # and the walk is far off the fixed-span chunk count (40 at 500 LSNs)
+    assert res.chunks_committed <= 10
+
+
+def test_auto_span_aimd_ceiling_respects_transport_limit(spark, tmp_path,
+                                                         oneshot_state):
+    """After the ladder shrinks to a span the server can serve, the
+    auto-sizer must NOT re-ask for span_growth x that: the ceiling is 2x
+    the span that succeeded (AIMD), probing up gently."""
+    t = _mk_table(spark, tmp_path)
+    src = FlakySource(GeneratorSource(n_events=N, n_convs=CONVS, seed=SEED),
+                      max_span=800)
+    res = catch_up(spark, src, t, "cu", chunk_lsns=20_000,
+                   min_chunk_lsns=250, ladder_factor=5, span_growth=16)
+    assert _state(t) == oneshot_state
+    assert res.degradations >= 2       # ladder found the servable span
+    # every request after the first SUCCESS stays within 2x the largest
+    # span the server had accepted so far — never a 16x re-ask
+    max_ok = None
+    for since, mx in src.seen:
+        span = None if mx is None else mx - since
+        if span is None:
+            continue
+        if max_ok is not None:
+            assert span <= 2 * max_ok, (span, max_ok)
+        if span <= 800:                # the server serves it
+            max_ok = max(max_ok or 0, span)
+
+
+def test_auto_span_crosses_sparse_gap_fast(spark, tmp_path):
+    """In auto mode an empty chunk widens the span too, so a sparse-LSN
+    gap is crossed in O(log gap) chunks instead of gap/span of them."""
+    ev = gen.gen_change_events(spark, n_events=N, n_convs=CONVS, seed=SEED)
+    wal = str(tmp_path / "wal")
+    ev.filter((F.col("lsn") <= 1000) | (F.col("lsn") > 18_000)) \
+      .write.parquet(wal)
+    t = _mk_table(spark, tmp_path)
+    res = catch_up(spark, FileSource(wal), t, "cu", chunk_lsns=1000)
+    # fixed spans would read ~20 chunks (17 of them empty); the widening
+    # walk crosses the 17k-LSN gap in a handful
+    assert res.chunks_read <= 5
+    got = {r[0] for r in t.read().select("_lsn").collect()}
+    assert got and all(l <= 1000 or l > 18_000 for l in got)
+    t2 = _mk_table(spark, tmp_path, "one")
+    apply_batch(t2, spark.read.parquet(wal), stream_id="o", epoch=0)
+    assert _state(t) == _state(t2)
 
 
 SNAP_LSN = 8000   # the onboarding tests' snapshot-at-WAL-position
@@ -278,7 +352,7 @@ def test_all_bad_chunk_does_not_erase_prior_dead_letters(spark, tmp_path):
     t = _mk_table(spark, tmp_path)
     qdir = str(tmp_path / "q")
     res = catch_up(spark, FileSource(wal), t, "cu", chunk_lsns=1000,
-                   quarantine_dir=qdir)
+                   max_chunk_rows=None, quarantine_dir=qdir)
     assert res.chunks_read >= 3
     q = spark.read.parquet(qdir + "/*")
     assert sorted(r["lsn"] for r in q.select("lsn").collect()) \
