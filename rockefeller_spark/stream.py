@@ -72,18 +72,26 @@ def json_value_transform(event_schema=None):
 
 
 # Auto raw-append policy bounds (make_batch_applier(dedupe_batch="auto")).
-# The within-batch LWW dedupe is the MOR micro-batch's ONLY shuffle stage;
-# for a trickle batch the reduce saves almost nothing (each key appears
-# ~once) while its exchange is pure per-batch fixed cost — skipping it
-# measured 1.74x on the trickle shape (BENCH/BASELINE.md round 7). It stays
-# worth paying when (a) the batch is big enough that one more stage
-# amortizes, or (b) within-batch duplication is high enough that writing
-# raw events would inflate the deltas (catch-up batches: winners cut ~75%
-# of write volume). The policy feeds back on the PREVIOUS batch's measured
-# size and duplication ratio (stream batches are auto-correlated; the
-# numbers ride the apply's own Observation — zero extra Spark work).
-RAW_APPEND_MAX_ROWS_PER_REDUCER = 16_384   # below: the shuffle is floor cost
-RAW_APPEND_MAX_DUP_RATIO = 1.25            # above: dedupe pays in write volume
+# The within-batch LWW dedupe is the MOR micro-batch's ONLY shuffle stage.
+# Measured on the bench shape (BENCH/BASELINE.md round 8 decomposition):
+# the exchange costs ~2x the parquet encode PER ROW, so deduping can never
+# win the batch wall — the encode it saves, N*(1-1/dup) rows, is strictly
+# less than the N rows it shuffles (raw-append measured 1.7-2.1x faster at
+# 2 AND 8 cores, duplication 1.3-3.2x). What the dedupe DOES buy is bounded
+# delta inflation: raw deltas hold events, not winners, so pending-delta
+# volume (and read-time LWW resolve + compaction debt) grows dup-fold.
+# Hence the bounds are AMPLIFICATION control, not wall optimization:
+# dedupe when duplication exceeds the compaction policy's row-fraction
+# headroom, or when the batch is backlog-sized (its raw deltas would be a
+# large table fraction until the next compact). Both bounds are absolute —
+# deliberately independent of core count / shuffle partitions, so the same
+# stream does identical work at every cluster size (scaling evidence stays
+# honest, and a cluster resize cannot flip the write shape). The policy
+# feeds back on the PREVIOUS batch's measured size and duplication ratio
+# (stream batches are auto-correlated; the numbers ride the apply's own
+# Observation — zero extra Spark work).
+RAW_APPEND_MAX_ROWS = 8_000_000     # above: backlog-sized, dedupe up front
+RAW_APPEND_MAX_DUP_RATIO = 4.0      # above: raw deltas inflate >4x, dedupe
 
 
 def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
@@ -135,13 +143,7 @@ def make_batch_applier(table: LakeTable, stream_id: str, quarantine_dir: str,
                           write_salt=write_salt, mode=mode, retries=retries,
                           dedupe_batch=use_dedupe)
         if auto and res.events_in:
-            spark_ = batch_df.sparkSession
-            try:
-                n_red = int(spark_.conf.get("spark.sql.shuffle.partitions"))
-            except Exception:
-                n_red = spark_.sparkContext.defaultParallelism
-            small = (res.events_in
-                     <= RAW_APPEND_MAX_ROWS_PER_REDUCER * max(n_red, 1))
+            small = res.events_in <= RAW_APPEND_MAX_ROWS
             if use_dedupe:
                 dup = res.events_in / max(res.rows_written
                                           or res.events_in, 1)

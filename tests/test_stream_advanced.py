@@ -346,11 +346,16 @@ def test_auto_raw_append_policy_on_trickle(spark, tmp_path):
 def test_auto_policy_keeps_dedupe_under_heavy_duplication(spark, tmp_path):
     """A duplicate-heavy trickle (hot keys rewritten every batch) must
     keep the LWW dedupe: raw-appending it would inflate the deltas with
-    superseded versions for no shuffle savings worth having."""
+    superseded versions beyond the policy's amplification bound
+    (RAW_APPEND_MAX_DUP_RATIO) — the write shape the dedupe exists to
+    prevent, since pending-delta volume and read-time LWW resolve cost
+    grow dup-fold until the next compaction."""
     src = str(tmp_path / "wal")
     table = LakeTable.create(spark, str(tmp_path / "t"),
                              STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
-    ev = gen.gen_change_events(spark, n_events=1200, n_convs=2, seed=142,
+    # single conversation => ~30 live keys; each ~200-row micro-batch
+    # rewrites them ~7x over (duplication ratio ≈ 7 > the 4.0 bound)
+    ev = gen.gen_change_events(spark, n_events=1200, n_convs=1, seed=142,
                                num_partitions=6)   # tiny keyspace: dup-heavy
     ev.write.mode("overwrite").parquet(src)
     timings = []
