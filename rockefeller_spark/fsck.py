@@ -249,6 +249,43 @@ def check_table(table: LakeTable, *, snapshot_id: int | None = None,
                     f"tag {name!r} -> v{t.get('snapshot_id')} not on disk "
                     "(expired under the pin, or hand-deleted)")
 
+    # -- refs: branches — head resolvable, fork base on disk, files live
+    try:
+        branches = table.branches()
+    except Exception as e:
+        rep.add("error", "unreadable-branches",
+                f"branch refs unreadable: {type(e).__name__}: {e}")
+        branches = {}
+    for name, b in branches.items():
+        try:
+            bh = table.on_branch(name)
+            head = bh.current()
+        except Exception:
+            rep.add("error", "branch-head-missing",
+                    f"branch {name!r} head v{b.get('head')} unreadable "
+                    "(pointer past the last branch snapshot object?)")
+            continue
+        try:
+            table.snapshot(int(b["base"]))
+        except Exception:
+            rep.add("warning", "branch-base-missing",
+                    f"branch {name!r}: fork point v{b.get('base')} expired "
+                    "— publish will refuse; drop + re-branch")
+        if head.snapshot_id != int(b["base"]):
+            try:
+                missing = [f.path for f in head.files
+                           if not os.path.exists(
+                               os.path.join(table.path, f.path))]
+            except Exception as e:
+                rep.add("error", "branch-files-unreadable",
+                        f"branch {name!r}: head manifests unreadable: "
+                        f"{type(e).__name__}: {e}")
+                missing = []
+            for p in missing:
+                rep.add("error", "branch-file-missing",
+                        f"branch {name!r}: {p} missing (orphan sweep ran "
+                        "without the branch pin?)")
+
     # -- staged commits: publishable = base on disk + files present -----
     try:
         staged = table.staged()

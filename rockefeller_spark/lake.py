@@ -64,6 +64,7 @@ documented in ``backends.py``.
 from __future__ import annotations
 
 import bisect
+import copy
 import json
 import logging
 import os
@@ -783,6 +784,13 @@ class LakeTable:
         self.backend = self.backend_factory(self.path)
         self.data_dir = os.path.join(self.path, "data")
         self.meta_dir = os.path.join(self.path, "metadata")
+        # branch binding (None = the main table): set only by on_branch(),
+        # which returns a shallow-copied handle whose version namespace,
+        # current pointer and commit point all route to the branch — every
+        # write path (apply/append/overwrite/compact/DML) then lands on
+        # the branch head with zero changes of its own
+        self._branch: str | None = None
+        self._branch_base: int | None = None
         # manifest files are immutable once committed, so caching by path
         # is safe across versions; the cache makes repeated snapshot()/
         # history() walks O(changed shards) I/O instead of O(table)
@@ -814,21 +822,41 @@ class LakeTable:
 
     # ------------------------------------------------------------- snapshots
     def _meta_path(self, version: int) -> str:
-        return os.path.join(self.meta_dir, f"v{version:08d}.json")
+        return os.path.join(self.path, self._meta_rel(version))
 
     def _meta_rel(self, version: int) -> str:
+        # a branch handle's snapshots PAST the fork point live in the
+        # branch's own namespace; the shared prefix (<= base) stays in
+        # main's — one version-id sequence per ref, no cross-ref races
+        if self._branch is not None and version > self._branch_base:
+            return os.path.join(self._BRANCH_DIR, self._branch,
+                                f"v{version:08d}.json")
         return os.path.join("metadata", f"v{version:08d}.json")
 
     _HINT_REL = os.path.join("metadata", HINT_FILE)
 
+    def _pointer_rel(self) -> str:
+        """The readers'-pointer object this handle commits through: the
+        table hint on main, the branch head on a branch handle."""
+        if self._branch is not None:
+            return self._branch_head_rel(self._branch)
+        return self._HINT_REL
+
     def current_version(self) -> int:
-        return self.backend.read_pointer(self._HINT_REL)
+        return self.backend.read_pointer(self._pointer_rel())
 
     def current(self) -> Snapshot:
         return self.snapshot(self.current_version())
 
     def snapshot(self, version: "int | str") -> Snapshot:
         if isinstance(version, str):
+            # tags resolve to a main-namespace id; a BRANCH name resolves
+            # to its head snapshot (which lives in the branch namespace),
+            # so route through a branch-bound handle — read("audit") /
+            # snapshot("audit") then follow the branch head by name
+            if self._REF_NAME_RE.match(version) and self._branch != version \
+                    and self.backend.exists(self._branch_rel(version)):
+                return self.on_branch(version).current()
             version = self.resolve_ref(version)
         try:
             snap = Snapshot.from_json(
@@ -1149,10 +1177,14 @@ class LakeTable:
     def history(self) -> list[Snapshot]:
         """All snapshots still on disk, oldest first. After
         ``expire_snapshots`` the list starts at the oldest retained
-        version, not v0."""
+        version, not v0. On a branch handle: the shared main prefix up to
+        the fork point, then the branch's own commits."""
         versions = sorted(
             int(f[1:9]) for f in os.listdir(self.meta_dir)
             if f.startswith("v") and f.endswith(".json"))
+        if self._branch is not None:
+            versions = ([v for v in versions if v <= self._branch_base]
+                        + self._branch_versions(self._branch))
         return [self.snapshot(v) for v in versions]
 
     def _write_snapshot(self, snap: Snapshot) -> None:
@@ -1187,10 +1219,10 @@ class LakeTable:
             # ledger turns the replay into skipped=True — the designed
             # at-least-once contract. Our own caller now rebases on the
             # repaired, visible version instead of spinning.
-            self.backend.advance_pointer(self._HINT_REL, snap.snapshot_id)
+            self.backend.advance_pointer(self._pointer_rel(), snap.snapshot_id)
             raise CommitConflictError(
                 f"snapshot {snap.snapshot_id} already committed") from e
-        self.backend.advance_pointer(self._HINT_REL, snap.snapshot_id)
+        self.backend.advance_pointer(self._pointer_rel(), snap.snapshot_id)
 
     # ------------------------------------------------------------- data files
     def _stage_write(self, df: DataFrame, n_buckets: int, bucket_col: str,
@@ -1476,7 +1508,8 @@ class LakeTable:
                expected_version: int | None = None,
                multi_version: bool | None = None,
                new_n_buckets: int | None = None,
-               name_log_append: dict[str, Any] | None = None) -> Snapshot:
+               name_log_append: dict[str, Any] | None = None,
+               merge_epochs: dict[str, int] | None = None) -> Snapshot:
         base_version = self.current_version()
         if expected_version is not None and base_version != expected_version:
             raise CommitConflictError(
@@ -1501,6 +1534,12 @@ class LakeTable:
         epochs = dict(base.committed_epochs)
         if stream_id is not None and epoch is not None:
             epochs[stream_id] = max(epoch, epochs.get(stream_id, -1))
+        if merge_epochs:
+            # a branch publish folds the branch commits' ledger entries
+            # onto main so exactly-once survives the fast-forward; max()
+            # keeps the merge monotonic per stream
+            for sid, ep in merge_epochs.items():
+                epochs[sid] = max(int(ep), epochs.get(sid, -1))
         name_log = list(base.name_log)
         if name_log_append is not None:
             name_log.append({**name_log_append, "v": base_version + 1})
@@ -2252,7 +2291,11 @@ class LakeTable:
         audit/repro pin. Tags are create-once: re-pointing requires
         ``drop_tag`` first, so a published name can never silently move.
         Tag state is O(1) metadata; nothing is copied."""
+        self._main_only("tag")
         self._check_ref_name(name)
+        if self.backend.exists(self._branch_rel(name)):
+            raise ValueError(f"a branch named {name!r} exists; refs share "
+                             "one namespace")
         sid = self.current_version() if snapshot_id is None else int(snapshot_id)
         self.snapshot(sid)                     # must exist (not expired)
         obj = {"name": name, "snapshot_id": sid,
@@ -2294,7 +2337,234 @@ class LakeTable:
             return int(_json_loads(
                 self.backend.read(self._ref_rel(name)))["snapshot_id"])
         except FileNotFoundError:
-            raise KeyError(f"no tag {name!r}") from None
+            raise KeyError(f"no tag or branch {name!r}") from None
+
+    # --------------------------------------------- refs: branches
+    # A branch (Iceberg mutable named ref) is WAP generalized to MULTI-
+    # commit audit workflows: any number of real commits land on the
+    # branch head — invisible to main readers — then one atomic
+    # fast-forward publish folds the NET file delta onto main under the
+    # same disjoint-bucket rebase rule staged publishes use. Branch
+    # snapshots are ordinary snapshot objects in a per-branch namespace
+    # (``metadata/branches/<name>/v*.json``) forked from the shared main
+    # prefix, so the two id sequences can never race each other's
+    # conditional PUTs; the branch head is the same monotonic pointer
+    # protocol as the table hint, just a different pointer object.
+    _BRANCH_DIR = os.path.join("metadata", "branches")
+
+    def _branch_rel(self, name: str) -> str:
+        return os.path.join(self._REF_DIR, f"b-{name}.json")
+
+    def _branch_head_rel(self, name: str) -> str:
+        return os.path.join(self._REF_DIR, f"bh-{name}.text")
+
+    def _branch_versions(self, name: str) -> list[int]:
+        d = os.path.join(self.path, self._BRANCH_DIR, name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(f[1:9]) for f in os.listdir(d)
+                      if f.startswith("v") and f.endswith(".json"))
+
+    def _main_only(self, op: str) -> None:
+        if self._branch is not None:
+            raise ValueError(
+                f"{op} must run on the main table handle, not the "
+                f"branch handle {self._branch!r}")
+
+    def create_branch(self, name: str, snapshot_id: int | None = None,
+                      note: str | None = None) -> dict[str, Any]:
+        """Fork a mutable named branch from a main snapshot (default: the
+        current one). Write through :meth:`on_branch`; read by name
+        (``read("audit")`` follows the branch head); publish to main with
+        :meth:`publish_branch`. Create-once like tags; the name must not
+        collide with a tag (one ref namespace, Iceberg's rule).
+        ``expire_snapshots`` pins the fork-point snapshot and every file
+        any branch commit references until the branch is dropped."""
+        self._main_only("create_branch")
+        self._check_ref_name(name)
+        if self.backend.exists(self._ref_rel(name)):
+            raise ValueError(f"a tag named {name!r} exists; refs share "
+                             "one namespace")
+        sid = (self.current_version() if snapshot_id is None
+               else int(snapshot_id))
+        self.snapshot(sid)                     # must exist (not expired)
+        obj = {"name": name, "base": sid,
+               "created_ms": int(time.time() * 1000), "note": note}
+        os.makedirs(os.path.join(self.path, self._REF_DIR), exist_ok=True)
+        os.makedirs(os.path.join(self.path, self._BRANCH_DIR, name),
+                    exist_ok=True)
+        try:
+            self.backend.put_if_absent(
+                self._branch_rel(name), json.dumps(obj).encode())
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        self.backend.advance_pointer(self._branch_head_rel(name), sid)
+        return obj
+
+    def branch_obj(self, name: str) -> dict[str, Any]:
+        self._check_ref_name(name)
+        try:
+            obj = _json_loads(self.backend.read(self._branch_rel(name)))
+        except FileNotFoundError:
+            raise KeyError(f"no branch {name!r}") from None
+        obj["head"] = self.backend.read_pointer(self._branch_head_rel(name))
+        return obj
+
+    def branches(self) -> dict[str, dict[str, Any]]:
+        """All branches, by name (each with its current ``head``)."""
+        d = os.path.join(self.path, self._REF_DIR)
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, dict[str, Any]] = {}
+        for fname in sorted(os.listdir(d)):
+            if fname.startswith("b-") and fname.endswith(".json"):
+                out[fname[2:-5]] = self.branch_obj(fname[2:-5])
+        return out
+
+    def on_branch(self, name: str) -> "LakeTable":
+        """A handle bound to the branch: same table, same data/manifest
+        store, but ``current()``/``commit()``/every write path route to
+        the branch head — ``apply_batch``, ``append``, DML, ``compact``
+        all work unchanged and stay INVISIBLE on main until
+        :meth:`publish_branch`. Maintenance that reasons about global
+        liveness (``expire_snapshots``) and ref/stage creation stay
+        main-handle-only and raise here."""
+        self._main_only("on_branch (branches do not nest)")
+        b = self.branch_obj(name)              # KeyError if absent
+        t = copy.copy(self)
+        t._branch = name
+        t._branch_base = int(b["base"])
+        return t
+
+    def drop_branch(self, name: str) -> None:
+        """Delete the branch ref, head pointer and its snapshot objects.
+        The branch's data files and manifests become unreferenced and age
+        out through the next orphan sweep (same lifecycle as an abandoned
+        staged commit)."""
+        self._main_only("drop_branch")
+        self._check_ref_name(name)
+        if not self.backend.exists(self._branch_rel(name)):
+            raise KeyError(f"no branch {name!r}")
+        for v in self._branch_versions(name):
+            rel = os.path.join(self._BRANCH_DIR, name, f"v{v:08d}.json")
+            try:
+                self.backend.delete(rel)
+            except FileNotFoundError:
+                pass
+        self.backend.delete(self._branch_rel(name))
+        try:
+            self.backend.delete(self._branch_head_rel(name))
+        except FileNotFoundError:
+            pass
+
+    def _snapshot_file_diff(self, a: Snapshot, b: Snapshot) \
+            -> "tuple[list[DataFile], set[str]]":
+        """(files in b not in a, paths in a not in b) — the net delta —
+        loading only the manifest shards that differ between the two
+        (shared shards are byte-identical by path and skipped, the
+        ``changed_buckets`` cost shape)."""
+        if a.manifests is None or b.manifests is None \
+                or a._loader is None or b._loader is None:
+            pa = {f.path: f for f in a.files}
+            pb = {f.path: f for f in b.files}
+        else:
+            ea = {e.path for e in a.manifests}
+            eb = {e.path for e in b.manifests}
+            pa = {f.path: f for e in a.manifests if e.path not in eb
+                  for f in a._loader(e.path)}
+            pb = {f.path: f for e in b.manifests if e.path not in ea
+                  for f in b._loader(e.path)}
+        return ([f for p, f in pb.items() if p not in pa],
+                {p for p in pa if p not in pb})
+
+    def publish_branch(self, name: str, *, drop: bool = True,
+                       max_races: int = 3) -> Snapshot:
+        """Atomically fast-forward main to the branch: ONE commit carrying
+        the branch's net file delta (adds + removes since the fork point),
+        with the branch commits' epoch ledger merged in so exactly-once
+        survives the publish. If main moved since the fork, the publish
+        REBASES under the exact rule staged publishes use — every
+        intervening main commit must touch only buckets DISJOINT from
+        everything the branch touched, with no schema/layout/name-log
+        drift on either side; otherwise :class:`CommitConflictError`
+        (re-branch from fresh state). A branch-side ADDITIVE schema
+        evolution publishes only onto unmoved main (true fast-forward).
+        ``drop`` (default) deletes the branch after the publish — its
+        snapshots' purpose (audit before visibility) is served."""
+        self._main_only("publish_branch")
+        bh = self.on_branch(name)
+        head = bh.current()
+        base_id = int(bh._branch_base)
+        if head.snapshot_id == base_id:
+            raise ValueError(f"branch {name!r} has no commits to publish")
+        try:
+            base = self.snapshot(base_id)
+        except ValueError:
+            raise CommitConflictError(
+                f"branch fork point v{base_id} expired; re-branch") from None
+        if head.name_log != base.name_log:
+            raise CommitConflictError(
+                "branch renamed/dropped columns; the name log's version "
+                "stamps are branch-local and cannot graft onto main — "
+                "apply the rename on main instead")
+        if head.n_buckets != base.n_buckets:
+            raise CommitConflictError("branch rescaled buckets; re-apply "
+                                      "the rescale on main")
+        adds, removed_paths = self._snapshot_file_diff(base, head)
+        touched = changed_buckets(base, head)
+        for _ in range(max(1, max_races)):
+            cur = self.current()
+            published = next(
+                (s for s in reversed(self.history())
+                 if s.lineage.get("op") == "branch_publish"
+                 and s.lineage.get("branch") == name
+                 and s.lineage.get("branch_head") == head.snapshot_id),
+                None)
+            if published is not None:          # crash-replayed publish
+                if drop and self.backend.exists(self._branch_rel(name)):
+                    self.drop_branch(name)
+                return published
+            new_schema = None
+            if cur.snapshot_id != base_id:
+                if head.schema != base.schema:
+                    raise CommitConflictError(
+                        "branch evolved the schema and main moved since "
+                        "the fork; re-branch and re-apply")
+                if cur.n_buckets != base.n_buckets \
+                        or cur.schema != base.schema \
+                        or cur.name_log != base.name_log:
+                    raise CommitConflictError(
+                        "main layout/schema evolved since the fork; "
+                        "re-branch from fresh state")
+                diff = changed_buckets(base, cur)
+                if diff is None or touched is None or diff & touched:
+                    raise CommitConflictError(
+                        "intervening main commits overlap the branch's "
+                        "buckets; re-branch from fresh state")
+            elif head.schema != base.schema:
+                new_schema = head.schema
+            # the removes apply against CUR: the disjointness rule above
+            # guarantees every branch-removed file is untouched there
+            # (intervening commits never touched the branch's buckets, and
+            # expiry can't reclaim files cur references), so no O(table)
+            # re-validation pass is needed
+            try:
+                snap = self.commit(
+                    adds, removed_paths,
+                    new_schema=new_schema,
+                    multi_version=head.multi_version or cur.multi_version,
+                    merge_epochs=dict(head.committed_epochs),
+                    lineage={"op": "branch_publish", "branch": name,
+                             "branch_head": head.snapshot_id,
+                             "branch_base": base_id},
+                    expected_version=cur.snapshot_id)
+            except CommitConflictError:
+                continue                       # racing writer; revalidate
+            if drop:
+                self.drop_branch(name)
+            return snap
+        raise CommitConflictError(
+            f"publish of branch {name!r} lost {max_races} commit races")
 
     # ------------------------------------- write-audit-publish (staged)
     def _stage_rel(self, wap_id: str) -> str:
@@ -2349,6 +2619,8 @@ class LakeTable:
         atomically, or :meth:`abandon_staged` discards it (files are
         reclaimed by the orphan sweep). Staging costs exactly what the
         write costs; audit and publish are metadata-side."""
+        self._main_only("stage_append (a branch IS the multi-commit "
+                        "audit workflow — commit to it directly)")
         snap = self.current()
         adds = self._stage_write(df, snap.n_buckets, snap.bucket_col,
                                  write_salt)
@@ -2378,6 +2650,7 @@ class LakeTable:
         of exactly ``buckets`` (the remove set is computed AT PUBLISH
         against the then-current snapshot, so a publish rebased over
         disjoint-bucket commits replaces the right files)."""
+        self._main_only("stage_overwrite_buckets")
         snap = self.current()
         adds = self._stage_write(df, snap.n_buckets, snap.bucket_col,
                                  write_salt)
@@ -2734,6 +3007,7 @@ class LakeTable:
         because it consults every retained snapshot's manifests) cannot
         interleave with the delete pass (see :meth:`_maintenance_lock`).
         Returns deletion stats."""
+        self._main_only("expire_snapshots")
         keep_last = max(int(keep_last), 1)
         now = time.time()
         with self._maintenance_lock():
@@ -2746,6 +3020,18 @@ class LakeTable:
             # staged_ttl_s are abandoned-by-policy and reaped (their
             # data files then age out through the orphan sweep).
             pinned: set[int] = {t["snapshot_id"] for t in self.tags().values()}
+            # branches pin their FORK POINT on main (the publish rebase
+            # needs it loadable) and every branch-namespace snapshot is
+            # retained outright — branch snapshot objects live outside
+            # meta_dir so main expiry never lists them, but their FILES
+            # must stay alive until the branch is dropped, so they join
+            # the liveness set below
+            branch_snaps: list[Snapshot] = []
+            for bname, bobj in self.branches().items():
+                pinned.add(int(bobj["base"]))
+                bh = self.on_branch(bname)
+                branch_snaps.extend(
+                    bh.snapshot(v) for v in self._branch_versions(bname))
             staged_live: list[dict[str, Any]] = []
             staged_reaped = 0
             for st in self.staged().values():
@@ -2758,7 +3044,7 @@ class LakeTable:
                     pinned.add(st["base"])
             retained = [s for s in history
                         if s.snapshot_id > current - keep_last
-                        or s.snapshot_id in pinned]
+                        or s.snapshot_id in pinned] + branch_snaps
             retained_manifests = {e.path for s in retained
                                   for e in (s.manifests or [])}
             expired = [s for s in history

@@ -332,3 +332,167 @@ def test_read_staged_bucket_read_excludes_delta_leak(spark, table):
     assert convs
     assert all(key_bucket(c, n) == b for c in convs)
     table.abandon_staged(wap)
+
+
+# ------------------------------------------------------------- branches
+
+def test_branch_commits_invisible_until_publish(spark, table):
+    """Multi-commit audit: N real commits on a branch stay invisible on
+    main; the fast-forward publish folds the net delta == sequential
+    oracle."""
+    ev = gen.gen_change_events(spark, n_events=1200, n_convs=10, seed=61)
+    pdf = ev.toPandas()
+    _apply_slice(spark, table, pdf, ev.schema, -1, 400)
+    v_main = table.current_version()
+    main_rows = read_state(table).count()
+
+    table.create_branch("audit", note="week-32 backfill")
+    b = table.on_branch("audit")
+    # two real commits on the branch (multi-commit audit workflow)
+    _apply_slice(spark, b, pdf, ev.schema, 400, 800)
+    _apply_slice(spark, b, pdf, ev.schema, 800, 1200)
+
+    # invisible on main; visible on the branch handle AND by name
+    assert table.current_version() == v_main
+    assert read_state(table).count() == main_rows
+    want = replay(pdf).sort_values(["conv_id", "turn_idx"]) \
+                      .reset_index(drop=True)
+    got_branch = _visible(read_state(b))
+    assert (got_branch[want.columns.tolist()].values == want.values).all()
+    assert table.read("audit").count() == b.read().count()
+    assert table.snapshot("audit").snapshot_id == b.current_version()
+    assert table.branches()["audit"]["head"] == b.current_version()
+
+    snap = table.publish_branch("audit")
+    assert snap.lineage["op"] == "branch_publish"
+    got_main = _visible(read_state(table))
+    assert (got_main[want.columns.tolist()].values == want.values).all()
+    # one main commit for the whole branch (fast-forward), branch dropped
+    assert table.current_version() == v_main + 1
+    assert "audit" not in table.branches()
+
+
+def test_branch_publish_rebases_over_disjoint_main_commits(spark, table):
+    ev = gen.gen_change_events(spark, n_events=600, n_convs=6, seed=62)
+    pdf = ev.toPandas()
+    _apply_slice(spark, table, pdf, ev.schema, -1, 300)
+    table.create_branch("bf")
+    b = table.on_branch("bf")
+    _apply_slice(spark, b, pdf, ev.schema, 300, 600)
+
+    # main moves with rows in buckets DISJOINT from everything on the
+    # branch -> publish must rebase, keeping both sides' rows
+    extra = _stored_extra(spark, 63, "mainx", n_events=60, n_convs=3)
+    n = table.current().n_buckets
+    branch_buckets = {key_bucket(c, n) for c in pdf.conv_id.unique()}
+    extra = extra.toPandas()
+    extra = extra[extra.conv_id.map(
+        lambda c: key_bucket(c, n) not in branch_buckets)]
+    assert len(extra), "need at least one disjoint-bucket row"
+    table.append(spark.createDataFrame(extra, STORED_TRANSCRIPT_SCHEMA))
+
+    table.publish_branch("bf")
+    got = read_state(table).toPandas()
+    want = replay(pdf)
+    assert len(got) == len(want) + len(extra[~extra._deleted])
+    got_b = got[~got.conv_id.str.startswith("mainx-")] \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (got_b[want.columns.tolist()].values == want.values).all()
+
+
+def test_branch_publish_refuses_overlap_and_drift(spark, table):
+    ev = gen.gen_change_events(spark, n_events=400, n_convs=5, seed=64)
+    pdf = ev.toPandas()
+    _apply_slice(spark, table, pdf, ev.schema, -1, 200)
+    table.create_branch("bad")
+    b = table.on_branch("bad")
+    _apply_slice(spark, b, pdf, ev.schema, 200, 400)
+    # main touches the SAME convs -> overlapping buckets -> refuse
+    _apply_slice(spark, table, pdf, ev.schema, 200, 300)
+    with pytest.raises(CommitConflictError, match="overlap|re-branch"):
+        table.publish_branch("bad")
+    table.drop_branch("bad")
+    with pytest.raises(KeyError):
+        table.on_branch("bad")
+
+
+def test_branch_epoch_ledger_survives_publish(spark, table):
+    """Exactly-once across the publish: epochs committed ON the branch
+    are merged into main, so a redelivered batch no-ops after publish."""
+    ev = gen.gen_change_events(spark, n_events=300, n_convs=4, seed=65)
+    table.create_branch("led")
+    b = table.on_branch("led")
+    r = apply_batch(b, ev, stream_id="s-led", epoch=7)
+    assert not r.skipped
+    table.publish_branch("led")
+    assert table.epoch_committed("s-led", 7)
+    r2 = apply_batch(table, ev, stream_id="s-led", epoch=7)
+    assert r2.skipped
+
+
+def test_branch_pins_against_expiry_and_reclaims_on_drop(spark, table):
+    ev = gen.gen_change_events(spark, n_events=500, n_convs=6, seed=66)
+    pdf = ev.toPandas()
+    _apply_slice(spark, table, pdf, ev.schema, -1, 250)
+    fork = table.current_version()
+    table.create_branch("pin")
+    b = table.on_branch("pin")
+    _apply_slice(spark, b, pdf, ev.schema, 250, 500)
+    branch_files = {f.path for f in b.current().files}
+
+    # main moves on; aggressive expiry must pin the fork point AND keep
+    # every branch-referenced file alive through the orphan sweep
+    table.append(_stored_extra(spark, 67, "mv", n_events=40, n_convs=2))
+    stats = table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    assert fork in stats["pinned"]
+    import os
+    for p in branch_files:
+        assert os.path.exists(os.path.join(table.path, p)), p
+    # branch still fully readable after expiry
+    assert read_state(b).count() > 0
+
+    # dropping the branch releases everything; branch-only files age out
+    table.drop_branch("pin")
+    table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    main_files = {f.path for f in table.current().files}
+    gone = branch_files - main_files
+    assert gone, "branch wrote files main never referenced"
+    for p in gone:
+        assert not os.path.exists(os.path.join(table.path, p)), p
+
+
+def test_branch_name_guards_and_main_only(spark, table):
+    table.tag("rel")
+    with pytest.raises(ValueError, match="namespace"):
+        table.create_branch("rel")
+    table.create_branch("dev")
+    with pytest.raises(ValueError, match="namespace"):
+        table.tag("dev")
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_branch("dev")
+    b = table.on_branch("dev")
+    with pytest.raises(ValueError, match="main table handle"):
+        b.on_branch("dev")
+    with pytest.raises(ValueError, match="main table handle"):
+        b.expire_snapshots()
+    with pytest.raises(ValueError, match="main table handle"):
+        b.create_branch("dev2")
+    with pytest.raises(ValueError, match="no commits to publish"):
+        table.publish_branch("dev")
+
+
+def test_branch_fsck_coverage(spark, table):
+    import os
+    from rockefeller_spark.fsck import check_table
+    ev = gen.gen_change_events(spark, n_events=300, n_convs=4, seed=68)
+    table.create_branch("chk")
+    b = table.on_branch("chk")
+    apply_batch(b, ev)
+    rep = check_table(table)
+    assert rep.ok, [f.detail for f in rep.errors()]
+    # delete one branch-referenced data file -> branch-file-missing
+    victim = next(f.path for f in b.current().files)
+    os.remove(os.path.join(table.path, victim))
+    rep = check_table(table)
+    assert any(f.code == "branch-file-missing" for f in rep.errors())
