@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 
+from rockefeller_spark import profiles
 from rockefeller_spark.lake import LakeTable
 from rockefeller_spark.metrics import MetricsLog
 from rockefeller_spark.schema import STORED_TRANSCRIPT_SCHEMA
@@ -61,7 +62,15 @@ def main() -> None:
     ap.add_argument("--compact-max-delta-files", type=int, default=8)
     ap.add_argument("--compact-delta-fraction", type=float, default=0.25)
     ap.add_argument("--expire-keep-last", type=int, default=8)
+    profiles.add_cli_args(ap)
     args = ap.parse_args()
+
+    # --env / $ROCKEFELLER_ENV: credentials, warehouse root and commit
+    # backend come from the profile; the 'user' tier refuses write jobs
+    prof = profiles.configure_job(args, "apply_stream_job")
+    args.table = profiles.resolve_path(prof, args.table)
+    args.checkpoint = profiles.resolve_path(prof, args.checkpoint)
+    args.source = profiles.resolve_path(prof, args.source)
 
     # master/executors come from spark-submit; only engine confs set here
     spark = get_spark("rockefeller-apply-stream", master=None)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 
+from rockefeller_spark import profiles
 from rockefeller_spark.lake import LakeTable
 from rockefeller_spark.maintenance import CompactionPolicy, maintain
 from rockefeller_spark.session import get_spark
@@ -43,7 +44,11 @@ def main() -> None:
     ap.add_argument("--rollback", type=int, default=None,
                     help="roll the table back to this snapshot id before "
                          "any other maintenance")
+    profiles.add_cli_args(ap)
     args = ap.parse_args()
+
+    prof = profiles.configure_job(args, "maintain_job")
+    args.table = profiles.resolve_path(prof, args.table)
 
     spark = get_spark("rockefeller-maintain", master=None)
     table = LakeTable.load(spark, args.table)

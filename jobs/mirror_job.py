@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 
+from rockefeller_spark import profiles
 from rockefeller_spark.feed import sync_mirror
 from rockefeller_spark.lake import LakeTable
 from rockefeller_spark.session import get_spark
@@ -37,7 +38,12 @@ def main() -> None:
     ap.add_argument("--create", action="store_true",
                     help="create the mirror table (source's schema and "
                          "bucket count) if it does not exist yet")
+    profiles.add_cli_args(ap)
     args = ap.parse_args()
+
+    prof = profiles.configure_job(args, "mirror_job")
+    args.src = profiles.resolve_path(prof, args.src)
+    args.dst = profiles.resolve_path(prof, args.dst)
 
     spark = get_spark("rockefeller-mirror", master=None)
     src = LakeTable.load(spark, args.src)

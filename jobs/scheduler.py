@@ -174,17 +174,24 @@ def main() -> None:
     ap.add_argument("--retries", type=int, default=2,
                     help="apply retries: the maintain worker is a second "
                          "writer, so the drain must tolerate losing a race")
+    from rockefeller_spark import profiles
+    profiles.add_cli_args(ap)
     args = ap.parse_args()
 
     py = sys.executable
     here = __file__.rsplit("/", 1)[0]
+    # the profile flags pass THROUGH to the child jobs (each resolves and
+    # enforces the tier itself — the scheduler holds no credentials)
+    prof_argv = ["--env", args.env] if args.env else []
+    if args.dotenv != ".env":
+        prof_argv += ["--dotenv", args.dotenv]
     drain = _subprocess_job([
         py, f"{here}/apply_stream_job.py", "--source", args.source,
         "--table", args.table, "--checkpoint", args.checkpoint,
         "--mode", args.mode, "--retries", str(args.retries),
-        "--no-maintenance"])
+        "--no-maintenance", *prof_argv])
     maintain = _subprocess_job([
-        py, f"{here}/maintain_job.py", "--table", args.table])
+        py, f"{here}/maintain_job.py", "--table", args.table, *prof_argv])
 
     sched = Scheduler([
         Job("drain", args.drain_every, drain),

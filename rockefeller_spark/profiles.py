@@ -168,3 +168,72 @@ def resolve_profile(env: str | None = None, *,
         extra={k: v for k, v in merged.items()
                if k.startswith("ROCKEFELLER_OPT_")},
     )
+
+
+# --------------------------------------------------------- job CLI glue
+
+class ReadOnlyProfileError(PermissionError):
+    """A write job was launched under the read-only 'user' tier."""
+
+
+def add_cli_args(ap) -> None:
+    """Install the profile flags on a job's ``argparse`` parser. Jobs
+    stay profile-OPTIONAL: with no ``--env`` and no ``$ROCKEFELLER_ENV``
+    the job runs exactly as before (explicit absolute paths, POSIX
+    backend) — the reference's ``DB_MODE`` dispatch is end-to-end only
+    when the operator opts in (``db_connect.py:103-139``)."""
+    ap.add_argument("--env", default=None,
+                    choices=("prod", "dev", "user"),
+                    help="environment profile (overrides $ROCKEFELLER_ENV); "
+                         "selects credentials, warehouse root and commit "
+                         "backend — see rockefeller_spark.profiles")
+    ap.add_argument("--dotenv", default=".env",
+                    help="dotenv file overlaid UNDER the real environ")
+
+
+def configure_job(args, job: str, *, writes: bool = True,
+                  environ: Mapping[str, str] | None = None):
+    """Resolve and ACTIVATE the profile for a job CLI, or return ``None``
+    when no environment was requested (legacy direct-path mode).
+
+    Activation = deployment-level wiring: the profile's commit backend
+    becomes ``LakeTable.backend_factory`` (class-level, so every handle
+    the job constructs — stream appliers, maintenance workers, mirrors —
+    commits through the same protocol), and write jobs REFUSE the
+    ``user`` tier (its credentials are the reference's read-only public
+    pair; letting an ingest job run with them would fail halfway into a
+    batch instead of at launch)."""
+    env_req = getattr(args, "env", None)
+    environ = os.environ if environ is None else environ
+    if not env_req and ENV_VAR not in environ:
+        return None
+    prof = resolve_profile(env_req, environ=environ,
+                           dotenv_path=getattr(args, "dotenv", ".env"))
+    if writes and prof.credential_tier == "user":
+        raise ReadOnlyProfileError(
+            f"environment {prof.env!r} resolves to the read-only 'user' "
+            f"credential tier, and {job} mutates the lake — run with "
+            f"--env prod (or dev)")
+    from rockefeller_spark.lake import LakeTable
+    LakeTable.backend_factory = prof.backend_factory()
+    log.info("profile %r active: tier=%s warehouse=%r backend=%s",
+             prof.env, prof.credential_tier, prof.warehouse,
+             LakeTable.backend_factory.__name__)
+    return prof
+
+
+def resolve_path(profile, path: str) -> str:
+    """Resolve a job path argument against the active profile's
+    warehouse root: relative names land under the warehouse (so the same
+    ``--table conversations`` works in every environment), absolute
+    paths and no-profile runs pass through unchanged."""
+    if profile is None or path is None or os.path.isabs(path):
+        return path
+    root = profile.warehouse
+    if not root:
+        return path
+    if "://" in root:
+        # scheme selects the commit backend (Profile.backend_factory);
+        # the sandbox realization of the store is still a local dir
+        root = root.split("://", 1)[1] or "/"
+    return os.path.join(root, path)

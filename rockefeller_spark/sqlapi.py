@@ -436,3 +436,76 @@ def execute(spark: SparkSession, text: str,
     raise SqlUnsupportedError(
         f"cannot route statement starting with {head!r}: MERGE/DELETE/"
         "UPDATE are DML here; for SELECT, register_view + spark.sql")
+
+
+# ------------------------------------------------------ metadata tables
+
+def register_meta_views(table: LakeTable, name: str, *,
+                        snapshot_id: "int | str | None" = None,
+                        files: bool = False) -> "dict[str, DataFrame]":
+    """Iceberg metadata-table analogs as temp views, for SQL-side table
+    introspection (``SELECT * FROM conv_history ORDER BY snapshot_id``):
+
+    - ``<name>_history``  — retained snapshots: id, parent, commit time,
+      operation (from lineage), bucket count, multi-version flag. Cost
+      O(retained snapshots) driver-side.
+    - ``<name>_refs``     — ``main`` + every tag and branch with the
+      snapshot it points at. Cost O(refs).
+    - ``<name>_manifests`` — the pinned snapshot's manifest list: shard
+      path, bucket range, per-shard file/row/LSN aggregates. Cost
+      O(shards), ZERO manifest loads — this is the scale-shaped view
+      (the per-shard aggregates answer most "how big / how fragmented /
+      where" questions).
+    - ``<name>_files``    — per-file entries (path, bucket, rows, LSN and
+      ts bounds, schema vintage). O(table files) driver materialization:
+      an audit surface, so it is OPT-IN via ``files=True``; prefer
+      ``_manifests`` in anything scheduled.
+
+    Views are snapshot-pinned like :func:`register_view`; re-register to
+    advance. Returns the DataFrames by view name."""
+    spark = table.spark
+    snap = (table.current() if snapshot_id is None
+            else table.snapshot(snapshot_id))
+    out: dict[str, DataFrame] = {}
+
+    hist = [(s.snapshot_id, s.parent_id, s.timestamp_ms,
+             s.lineage.get("op", "append" if s.parent_id is not None
+                           else "create"),
+             s.multi_version, s.n_buckets)
+            for s in table.history()]
+    out[f"{name}_history"] = spark.createDataFrame(
+        hist, "snapshot_id long, parent_id long, timestamp_ms long, "
+              "operation string, multi_version boolean, n_buckets int")
+
+    refs = [("main", "branch", table.current_version(), None, None)]
+    for nm, t in table.tags().items():
+        refs.append((nm, "tag", int(t["snapshot_id"]),
+                     t.get("created_ms"), t.get("note")))
+    for nm, b in table.branches().items():
+        refs.append((nm, "branch", int(b["head"]),
+                     b.get("created_ms"), b.get("note")))
+    out[f"{name}_refs"] = spark.createDataFrame(
+        refs, "name string, type string, snapshot_id long, "
+              "created_ms long, note string")
+
+    man = [(e.path, e.lo, e.hi, e.n_files, e.rows, e.min_lsn, e.max_lsn)
+           for e in (snap.manifests or [])]
+    out[f"{name}_manifests"] = spark.createDataFrame(
+        man, "path string, bucket_lo int, bucket_hi int, n_files long, "
+             "rows long, min_lsn long, max_lsn long")
+
+    if files:
+        rows = []
+        for cols in snap.file_columns():
+            n = len(cols["path"])
+            get = lambda k: cols.get(k) or [None] * n  # noqa: E731
+            rows.extend(zip(cols["path"], get("bucket"), get("rows"),
+                            get("min_lsn"), get("max_lsn"),
+                            get("min_ts"), get("max_ts"), get("schema_v")))
+        out[f"{name}_files"] = spark.createDataFrame(
+            rows, "path string, bucket int, rows long, min_lsn long, "
+                  "max_lsn long, min_ts long, max_ts long, schema_v long")
+
+    for view, df in out.items():
+        df.createOrReplaceTempView(view)
+    return out

@@ -242,3 +242,47 @@ def test_execute_routes_and_rejects_select(spark, tmp_path):
     t, _ = _mk(spark, tmp_path, "a", seed=86)
     with pytest.raises(SqlUnsupportedError, match="register_view"):
         execute(spark, "SELECT * FROM a", {"a": t})
+
+
+def test_meta_views_history_refs_manifests_files(spark, tmp_path):
+    """Iceberg metadata-table analogs: history/refs/manifests agree with
+    the handle APIs; the opt-in files view carries per-file pruning
+    stats."""
+    from rockefeller_spark.sqlapi import register_meta_views
+
+    t = LakeTable.create(spark, str(tmp_path / "meta"),
+                         STORED_TRANSCRIPT_SCHEMA, n_buckets=4)
+    ev = gen.gen_change_events(spark, n_events=600, n_convs=6, seed=91)
+    pdf = ev.toPandas()
+    apply_batch(t, spark.createDataFrame(pdf[pdf.lsn <= 300], ev.schema))
+    apply_batch(t, spark.createDataFrame(pdf[pdf.lsn > 300], ev.schema))
+    t.tag("rel-1", 1)
+    t.create_branch("wip")
+
+    dfs = register_meta_views(t, "conv", files=True)
+    assert set(dfs) == {"conv_history", "conv_refs", "conv_manifests",
+                        "conv_files"}
+
+    hist = {r["snapshot_id"]: r for r in
+            spark.sql("SELECT * FROM conv_history").collect()}
+    assert set(hist) == {s.snapshot_id for s in t.history()}
+    assert hist[0]["operation"] == "create"
+
+    refs = {r["name"]: r for r in
+            spark.sql("SELECT * FROM conv_refs").collect()}
+    assert refs["main"]["snapshot_id"] == t.current_version()
+    assert refs["rel-1"]["type"] == "tag"
+    assert refs["rel-1"]["snapshot_id"] == 1
+    assert refs["wip"]["type"] == "branch"
+    assert refs["wip"]["snapshot_id"] == t.branches()["wip"]["head"]
+
+    snap = t.current()
+    agg = spark.sql("SELECT sum(n_files) AS f, sum(rows) AS r "
+                    "FROM conv_manifests").first()
+    assert agg["f"] == len(snap.files)
+    assert agg["r"] == sum(f.rows for f in snap.files)
+
+    fl = spark.sql("SELECT * FROM conv_files").collect()
+    assert len(fl) == len(snap.files)
+    assert all(r["rows"] > 0 and r["max_lsn"] is not None for r in fl)
+    t.drop_branch("wip")
