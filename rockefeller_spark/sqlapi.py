@@ -433,9 +433,12 @@ def execute(spark: SparkSession, text: str,
         return sql_delete(spark, text, tables, **apply_kw)
     if head == "UPDATE":
         return sql_update(spark, text, tables, **apply_kw)
+    if head == "INSERT":
+        return sql_insert(spark, text, tables, **apply_kw)
     raise SqlUnsupportedError(
         f"cannot route statement starting with {head!r}: MERGE/DELETE/"
-        "UPDATE are DML here; for SELECT, register_view + spark.sql")
+        "UPDATE/INSERT are DML here; for SELECT, register_view + "
+        "spark.sql")
 
 
 # ------------------------------------------------------ metadata tables
@@ -509,3 +512,61 @@ def register_meta_views(table: LakeTable, name: str, *,
     for view, df in out.items():
         df.createOrReplaceTempView(view)
     return out
+
+
+# -------------------------------------------------------------- INSERT
+
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<t>[A-Za-z_][\w.]*)"
+    r"(?:\s*\((?P<cols>[^)]*)\))?"
+    r"\s+(?P<q>(?:SELECT|VALUES|WITH|TABLE)\b.*)$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def sql_insert(spark: SparkSession, text: str,
+               tables: dict[str, LakeTable], **apply_kw) -> ApplyResult:
+    """``INSERT INTO <table> [(col, ...)] SELECT ...|VALUES ...`` —
+    UPSERT-BY-KEY semantics: the rows become insert events at one fresh
+    high-water-mark LSN through :func:`dml.merge_into` (update-all +
+    insert), so inserting an existing key REPLACES that row. A keyed
+    CDC table cannot hold two live versions of one key, which is what
+    warehouse-append INSERT semantics would require — the upsert reading
+    is the only consistent one, and it is what the reference's
+    ``ON CONFLICT``-style loads mean. Duplicate keys WITHIN the
+    statement raise (the MERGE determinism rule).
+
+    With a column list, the query's output maps to it positionally and
+    unlisted payload columns become NULL; without one, the query must
+    produce every visible column. VALUES rows ride Spark's own
+    ``VALUES`` parser, so any Spark SQL literal/expression works."""
+    masked = _mask_strings(text)
+    m = _INSERT.match(masked)
+    if not m:
+        raise SqlUnsupportedError(
+            "statement does not match 'INSERT INTO <table> [(cols)] "
+            "SELECT ...|VALUES ...' (INSERT OVERWRITE and DEFAULT "
+            "VALUES are not supported)")
+    if m.group("t") not in tables:
+        raise KeyError(f"unknown table {m.group('t')!r}")
+    table = tables[m.group("t")]
+    src = spark.sql(text[m.start("q"):])
+    schema = table.current().schema
+    visible = [f.name for f in schema.fields if not f.name.startswith("_")]
+    if m.group("cols"):
+        names = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+        extra = set(names) - set(visible)
+        if extra:
+            raise SqlUnsupportedError(
+                f"unknown columns in INSERT list: {sorted(extra)}")
+    else:
+        names = visible                     # SQL positional-insert rule
+    if len(names) != len(src.columns):
+        raise SqlUnsupportedError(
+            f"column list has {len(names)} names but the query "
+            f"produces {len(src.columns)} columns")
+    src = src.toDF(*names)                  # positional mapping
+    for f in schema.fields:
+        if f.name not in names and not f.name.startswith("_"):
+            src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return dml.merge_into(table, src, when_matched_update="all",
+                          when_not_matched_insert=True, **apply_kw)

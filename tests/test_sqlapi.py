@@ -286,3 +286,47 @@ def test_meta_views_history_refs_manifests_files(spark, tmp_path):
     assert len(fl) == len(snap.files)
     assert all(r["rows"] > 0 and r["max_lsn"] is not None for r in fl)
     t.drop_branch("wip")
+
+
+def test_sql_insert_upserts_by_key(spark, tmp_path):
+    """INSERT INTO = upsert-by-key: new keys appear, an existing key is
+    REPLACED (one live version per key), column-list inserts NULL-fill
+    unlisted payload columns, duplicate in-statement keys raise."""
+    from rockefeller_spark.sqlapi import sql_insert
+
+    t, ev = _mk(spark, tmp_path, "ins")
+    before = read_state(t).toPandas()
+    exist = before.iloc[0]
+    n0 = len(before)
+
+    sql_insert(
+        spark,
+        f"""INSERT INTO conv (conv_id, turn_idx, role, text)
+            VALUES ('brand-new', 0, 'user', 'hello'),
+                   ('{exist.conv_id}', {exist.turn_idx}, 'system',
+                    'replaced')""",
+        {"conv": t})
+    after = read_state(t).toPandas().set_index(["conv_id", "turn_idx"])
+    assert len(after) == n0 + 1
+    new = after.loc[("brand-new", 0)]
+    assert new["role"] == "user" and pd.isna(new["tool"])   # NULL-filled
+    rep = after.loc[(exist.conv_id, exist.turn_idx)]
+    assert rep["text"] == "replaced" and rep["role"] == "system"
+
+    # full-row SELECT shape (no column list) round-trips too
+    register_view(t, "conv_v")
+    sql_insert(spark,
+               "INSERT INTO conv SELECT concat(conv_id, '-copy'), "
+               "turn_idx, role, text, tool, ts FROM conv_v "
+               "WHERE turn_idx = 0 LIMIT 1", {"conv": t})
+    assert read_state(t).filter(
+        F.col("conv_id").endswith("-copy")).count() == 1
+
+    with pytest.raises(ValueError, match="at most once"):
+        sql_insert(spark,
+                   "INSERT INTO conv (conv_id, turn_idx, role, text) "
+                   "VALUES ('d', 1, 'a', 'x'), ('d', 1, 'b', 'y')",
+                   {"conv": t})
+    with pytest.raises(SqlUnsupportedError, match="column list"):
+        sql_insert(spark, "INSERT INTO conv (conv_id) VALUES ('a', 1)",
+                   {"conv": t})
