@@ -435,9 +435,14 @@ def execute(spark: SparkSession, text: str,
         return sql_update(spark, text, tables, **apply_kw)
     if head == "INSERT":
         return sql_insert(spark, text, tables, **apply_kw)
+    if head == "OPTIMIZE":
+        return sql_optimize(spark, text, tables, **apply_kw)
+    if head == "VACUUM":
+        return sql_vacuum(spark, text, tables, **apply_kw)
     raise SqlUnsupportedError(
         f"cannot route statement starting with {head!r}: MERGE/DELETE/"
-        "UPDATE/INSERT are DML here; for SELECT, register_view + "
+        "UPDATE/INSERT/OPTIMIZE/VACUUM are statements here; for "
+        "SELECT, register_view + "
         "spark.sql")
 
 
@@ -570,3 +575,54 @@ def sql_insert(spark: SparkSession, text: str,
             src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
     return dml.merge_into(table, src, when_matched_update="all",
                           when_not_matched_insert=True, **apply_kw)
+
+
+# ------------------------------------------------- OPTIMIZE / VACUUM
+
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<t>[A-Za-z_][\w.]*)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<z>[^)]+?)\s*\))?\s*$",
+    re.IGNORECASE)
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+(?P<t>[A-Za-z_][\w.]*)"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+SNAPSHOTS)?\s*$",
+    re.IGNORECASE)
+
+
+def sql_optimize(spark: SparkSession, text: str,
+                 tables: dict[str, LakeTable], **compact_kw):
+    """``OPTIMIZE <table> [ZORDER BY (col, ...)]`` → ``LakeTable.compact``
+    (Delta's OPTIMIZE surface): plain = key-sorted sized compaction,
+    ZORDER BY = multi-column clustering (numeric/timestamp/date columns;
+    the engine raises on strings exactly like the programmatic call).
+    Returns the new snapshot."""
+    m = _OPTIMIZE.match(_mask_strings(text))
+    if not m:
+        raise SqlUnsupportedError(
+            "statement does not match 'OPTIMIZE <table> "
+            "[ZORDER BY (col, ...)]'")
+    if m.group("t") not in tables:
+        raise KeyError(f"unknown table {m.group('t')!r}")
+    if m.group("z"):
+        cols = [c.strip() for c in m.group("z").split(",") if c.strip()]
+        compact_kw.setdefault("zorder_by", cols)
+    return tables[m.group("t")].compact(**compact_kw)
+
+
+def sql_vacuum(spark: SparkSession, text: str,
+               tables: dict[str, LakeTable], **expire_kw):
+    """``VACUUM <table> [RETAIN <n> SNAPSHOTS]`` →
+    ``LakeTable.expire_snapshots`` (+ the grace-windowed orphan sweep).
+    Default retention matches the programmatic default; the statement
+    never goes below 1 (the current snapshot is always kept). Returns
+    the expiry stats dict."""
+    m = _VACUUM.match(_mask_strings(text))
+    if not m:
+        raise SqlUnsupportedError(
+            "statement does not match 'VACUUM <table> "
+            "[RETAIN <n> SNAPSHOTS]'")
+    if m.group("t") not in tables:
+        raise KeyError(f"unknown table {m.group('t')!r}")
+    if m.group("n"):
+        expire_kw.setdefault("keep_last", int(m.group("n")))
+    return tables[m.group("t")].expire_snapshots(**expire_kw)

