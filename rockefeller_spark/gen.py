@@ -26,6 +26,14 @@ BASE_EPOCH_S = 1_700_000_000  # 2023-11-14 22:13:20 UTC, arbitrary fixed origin
 
 _U_SCALE = 1_000_003  # prime; uniform granularity for hash->[0,1)
 
+# Multipliers for the shuffled=True affine index scramble (all verified
+# prime, all > 2^32 so they are coprime to ANY n_events < 2^32 — a prime p
+# divides n only when p <= n). id*p + q stays within int64 for
+# n_events <= 2*10^9 (max product ~8.6*10^18 < 2^63).
+_SCRAMBLE_PRIMES = [4294967311, 4294967357, 4294967371, 4294967377,
+                    4294967387, 4294967389, 4294967459, 4294967477]
+_SCRAMBLE_MAX_N = 2_000_000_000
+
 
 def _u(col, seed: int, salt: int):
     """Deterministic uniform in [0,1) from a column + seed + salt."""
@@ -123,6 +131,25 @@ def gen_change_events(spark: SparkSession, n_events: int = 10_000,
       (tool_call_id, latency_ms) per FIXTURES.md §3.
     """
     ids = spark.range(0, n_events, numPartitions=num_partitions)
+    if shuffled and 0 < n_events <= _SCRAMBLE_MAX_N:
+        # Out-of-order delivery WITHOUT a shuffle: remap the row index
+        # through a modular-affine bijection of [0, n_events) — row i
+        # carries id (i*p + q) mod n with p a prime > 2^32 (coprime to any
+        # such n), so the row SET is identical to the identity mapping at
+        # any parallelism while the physical order is scrambled (each
+        # partition holds a wrapping stride-p progression spanning the
+        # whole LSN range). The previous implementation repartitioned +
+        # sorted the fully-built payload rows by a hash column — a full
+        # shuffle and per-partition sort of the entire log, the single
+        # most expensive stage of generation (guide §2.4: remove shuffles
+        # outright). Beyond _SCRAMBLE_MAX_N events the affine product
+        # could overflow int64, so the legacy shuffle path below applies.
+        p = _SCRAMBLE_PRIMES[seed % len(_SCRAMBLE_PRIMES)]
+        q = (seed * 2_654_435_761 + 40_503) % n_events
+        ids = ids.select(
+            ((F.col("id") * F.lit(p) + F.lit(q)) % F.lit(n_events))
+            .alias("id"))
+        shuffled = False            # physical order already scrambled
     dup_cut = int(p_dup_lsn * _U_SCALE)
     del_cut = int(p_delete * _U_SCALE)
     # duplicate: this row replays the previous event's lsn (never for id 0)

@@ -19,6 +19,14 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Persisted intermediates (sketch signatures, band tables, IVF index)
+    # otherwise compile WITHOUT adaptive execution: every shuffle under an
+    # InMemoryRelation runs at the static spark.sql.shuffle.partitions
+    # fan-out regardless of data size. Letting AQE re-plan cached subtrees
+    # coalesces those exchanges like any other (measured 2x on the
+    # MinHash/SimHash pair queries; scale-neutral — on a big corpus the
+    # partitions stay large and nothing coalesces).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "snappy",
     # Timestamps written as INT64 micros so DuckDB/pandas read them exactly.
