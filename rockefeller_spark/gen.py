@@ -132,23 +132,32 @@ def gen_change_events(spark: SparkSession, n_events: int = 10_000,
     """
     ids = spark.range(0, n_events, numPartitions=num_partitions)
     if shuffled and 0 < n_events <= _SCRAMBLE_MAX_N:
-        # Out-of-order delivery WITHOUT a shuffle: remap the row index
-        # through a modular-affine bijection of [0, n_events) — row i
-        # carries id (i*p + q) mod n with p a prime > 2^32 (coprime to any
-        # such n), so the row SET is identical to the identity mapping at
-        # any parallelism while the physical order is scrambled (each
-        # partition holds a wrapping stride-p progression spanning the
-        # whole LSN range). The previous implementation repartitioned +
-        # sorted the fully-built payload rows by a hash column — a full
-        # shuffle and per-partition sort of the entire log, the single
-        # most expensive stage of generation (guide §2.4: remove shuffles
-        # outright). Beyond _SCRAMBLE_MAX_N events the affine product
-        # could overflow int64, so the legacy shuffle path below applies.
+        # Out-of-order delivery WITHOUT a shuffle, laid out the way a
+        # binlog actually lands on disk: the log is split into fixed
+        # LSN segments and row i is remapped through a modular-affine
+        # bijection of ITS SEGMENT — (i-base)*p + q mod seg_len, p a
+        # prime > 2^32 (coprime to any such length) — so the row SET is
+        # identical to the identity mapping at any parallelism (each
+        # segment is a permutation of itself), delivery is scrambled
+        # WITHIN every segment (the at-least-once out-of-orderness the
+        # apply path must handle), and the file/row-group LSN bounds
+        # stay segment-tight, so an LSN-span read of the WAL (micro-batch
+        # slicing, catch-up chunks) prunes on parquet footer stats
+        # instead of re-decoding the whole log per span (guide §6).
+        # The previous implementation repartitioned + sorted the fully
+        # built payload rows by a hash column — a full shuffle and sort
+        # of the entire log per call, and every file spanned every LSN,
+        # so span reads could never skip anything. Beyond _SCRAMBLE_MAX_N
+        # events the affine product could overflow int64; the legacy
+        # shuffle path below keeps correctness there.
         p = _SCRAMBLE_PRIMES[seed % len(_SCRAMBLE_PRIMES)]
-        q = (seed * 2_654_435_761 + 40_503) % n_events
+        q = seed * 2_654_435_761 + 40_503
+        seg = max(-(-n_events // 256), 4096)   # >=4096: tiny logs stay
+        base = (F.col("id") / F.lit(seg)).cast("long") * F.lit(seg)
+        seg_len = F.least(F.lit(n_events) - base, F.lit(seg))
         ids = ids.select(
-            ((F.col("id") * F.lit(p) + F.lit(q)) % F.lit(n_events))
-            .alias("id"))
+            (base + ((F.col("id") - base) * F.lit(p) + F.lit(q) % seg_len)
+             % seg_len).alias("id"))
         shuffled = False            # physical order already scrambled
     dup_cut = int(p_dup_lsn * _U_SCALE)
     del_cut = int(p_delete * _U_SCALE)

@@ -2058,9 +2058,37 @@ class LakeTable:
                 "(pending merge-on-read deltas span buckets); run a full "
                 "compact() first")
         df = self.read(buckets=buckets)
+        pre_bucketed = False
         if snap.multi_version:
             from rockefeller_spark.cdc import dedupe_lww
-            df = dedupe_lww(df, order_col="_lsn")
+            from rockefeller_spark.schema import KEY_COLS
+            if (target_rows_per_file is None and not zorder_by
+                    and not write_salt
+                    and set(KEY_COLS) <= set(df.columns)):
+                # Fused resolve+bucket (guide §2.4 — two ops keyed the
+                # same way share one exchange): repartition by _bucket
+                # and reduce max-_lsn per (bucket, key) in place, exactly
+                # the apply path's shape. _bucket is a function of the
+                # key, so the (bucket)-hash partitioning already
+                # satisfies the aggregation's clustering AND is the
+                # layout the bucketed write wants — one shuffle of the
+                # table instead of two (the unfused form exchanges once
+                # on the key for dedupe_lww and again on _bucket for the
+                # write). The sized/z-ordered variants keep the unfused
+                # form: their range exchange must run on resolved rows.
+                rest = [c for c in df.columns if c not in KEY_COLS]
+                w = F.struct(*[F.col(c) for c in rest])
+                df = (df.withColumn("_bucket",
+                                    bucket_expr(snap.bucket_col,
+                                                snap.n_buckets))
+                      .repartition(F.col("_bucket"))
+                      .groupBy("_bucket", *KEY_COLS)
+                      .agg(F.max_by(w, F.col("_lsn")).alias("_w"))
+                      .select("_bucket", *KEY_COLS,
+                              *[F.col(f"_w.{c}").alias(c) for c in rest]))
+                pre_bucketed = True
+            else:
+                df = dedupe_lww(df, order_col="_lsn")
         if drop_tombstones and "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted"))
         salt_counts: dict[int, int] | None = None
@@ -2099,6 +2127,7 @@ class LakeTable:
             sort_cols = [zlabel]
         adds = self._stage_write(
             df, snap.n_buckets, snap.bucket_col, write_salt,
+            pre_bucketed=pre_bucketed,
             sort_cols=sort_cols,
             salt_counts=salt_counts,
             target_rows_per_file=target_rows_per_file,
