@@ -854,8 +854,13 @@ class LakeTable:
             # to its head snapshot (which lives in the branch namespace),
             # so route through a branch-bound handle — read("audit") /
             # snapshot("audit") then follow the branch head by name
-            if self._REF_NAME_RE.match(version) and self._branch != version \
+            if self._REF_NAME_RE.match(version) \
                     and self.backend.exists(self._branch_rel(version)):
+                if self._branch == version:
+                    # a branch-bound handle asked for its OWN branch by
+                    # name: that's just its head (falling through would
+                    # mis-resolve via tags and raise)
+                    return self.current()
                 return self.on_branch(version).current()
             version = self.resolve_ref(version)
         try:
@@ -2590,7 +2595,17 @@ class LakeTable:
             except CommitConflictError:
                 continue                       # racing writer; revalidate
             if drop:
-                self.drop_branch(name)
+                # a branch commit landing between the head pin and here
+                # would be silently discarded by the drop — re-read the
+                # head and keep the branch alive if it moved past what
+                # was just published (the caller can publish again)
+                if bh.current_version() == head.snapshot_id:
+                    self.drop_branch(name)
+                else:
+                    logger.warning(
+                        "branch %r advanced past the published head "
+                        "v%d during publish; keeping the branch",
+                        name, head.snapshot_id)
             return snap
         raise CommitConflictError(
             f"publish of branch {name!r} lost {max_races} commit races")

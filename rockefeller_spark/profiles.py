@@ -234,6 +234,11 @@ def resolve_path(profile, path: str) -> str:
         return path
     if "://" in root:
         # scheme selects the commit backend (Profile.backend_factory);
-        # the sandbox realization of the store is still a local dir
+        # the sandbox realization of the store is still a local dir.
+        # A two-slash root like scheme://bucket/wh leaves a RELATIVE
+        # component — anchoring it at os.sep keeps tables from silently
+        # resolving under the job's cwd
         root = root.split("://", 1)[1] or "/"
+        if not os.path.isabs(root):
+            root = os.sep + root
     return os.path.join(root, path)

@@ -383,15 +383,19 @@ def sql_delete(spark: SparkSession, text: str,
     """``DELETE FROM <table> WHERE <pred>`` → :func:`dml.delete_where`
     (tombstone events through the apply path; predicate is any Spark SQL
     expression over the visible row)."""
-    m = _DELETE.match(text)
+    # match against the MASKED text (like every other parser here) so a
+    # WHERE inside a string literal can't mis-split; slice the predicate
+    # out of the ORIGINAL text by span (masking is length-preserving)
+    m = _DELETE.match(_mask_strings(text))
     if not m:
         raise SqlUnsupportedError(
             "statement does not match 'DELETE FROM <table> WHERE <pred>' "
             "(an unfiltered DELETE must say WHERE true explicitly)")
     if m.group("t") not in tables:
         raise KeyError(f"unknown table {m.group('t')!r}")
-    return dml.delete_where(tables[m.group("t")],
-                            F.expr(m.group("pred").strip()), **apply_kw)
+    return dml.delete_where(
+        tables[m.group("t")],
+        F.expr(text[m.start("pred"):m.end("pred")].strip()), **apply_kw)
 
 
 def sql_update(spark: SparkSession, text: str,
@@ -399,7 +403,9 @@ def sql_update(spark: SparkSession, text: str,
     """``UPDATE <table> SET col = <expr>, ... WHERE <pred>`` →
     :func:`dml.update_where` (upsert events through the apply path;
     expressions see the current row's columns)."""
-    m = _UPDATE.match(text)
+    # masked match + span slicing, as _parse_merge/_INSERT do: a WHERE
+    # keyword inside a SET string literal must not split the statement
+    m = _UPDATE.match(_mask_strings(text))
     if not m:
         raise SqlUnsupportedError(
             "statement does not match 'UPDATE <table> SET col = expr[, "
@@ -407,7 +413,7 @@ def sql_update(spark: SparkSession, text: str,
             "true explicitly)")
     if m.group("t") not in tables:
         raise KeyError(f"unknown table {m.group('t')!r}")
-    set_txt = m.group("set").strip()
+    set_txt = text[m.start("set"):m.end("set")].strip()
     masked = _mask_strings(set_txt)
     assigns = {}
     for item in _split_top(set_txt, masked):
@@ -416,9 +422,10 @@ def sql_update(spark: SparkSession, text: str,
             raise SqlUnsupportedError(f"cannot parse SET assignment "
                                       f"{item!r}")
         assigns[im.group(1)] = F.expr(im.group(2).strip())
-    return dml.update_where(tables[m.group("t")],
-                            F.expr(m.group("pred").strip()), assigns,
-                            **apply_kw)
+    return dml.update_where(
+        tables[m.group("t")],
+        F.expr(text[m.start("pred"):m.end("pred")].strip()), assigns,
+        **apply_kw)
 
 
 def execute(spark: SparkSession, text: str,
@@ -563,6 +570,16 @@ def sql_insert(spark: SparkSession, text: str,
         if extra:
             raise SqlUnsupportedError(
                 f"unknown columns in INSERT list: {sorted(extra)}")
+        if len(set(names)) != len(names):
+            raise SqlUnsupportedError(
+                "duplicate columns in INSERT column list")
+        missing_keys = set(S.KEY_COLS) - set(names)
+        if missing_keys:
+            # the NULL-fill below would otherwise land a null-key row in
+            # the keyed table — unjoinable and un-updatable forever
+            raise SqlUnsupportedError(
+                f"INSERT column list must include the table key columns "
+                f"{sorted(S.KEY_COLS)} (missing {sorted(missing_keys)})")
     else:
         names = visible                     # SQL positional-insert rule
     if len(names) != len(src.columns):

@@ -110,3 +110,15 @@ def test_backend_factory_by_warehouse_scheme():
     assert posix.backend_factory() is backends.PosixBackend
     assert s3.backend_factory() is backends.FakeObjectStoreBackend
     assert filew.backend_factory() is backends.PosixBackend
+
+
+def test_resolve_path_two_slash_scheme_root_is_absolute():
+    """ADVICE r8: s3://bucket/wh must not resolve relative to the cwd."""
+    from rockefeller_spark.profiles import resolve_path
+    p = Profile(env="prod", credential_tier="prod",
+                warehouse="s3://bucket/wh")
+    got = resolve_path(p, "conversations")
+    assert got == "/bucket/wh/conversations"
+    p3 = Profile(env="prod", credential_tier="prod",
+                 warehouse="file:///abs/wh")
+    assert resolve_path(p3, "t") == "/abs/wh/t"

@@ -496,3 +496,43 @@ def test_branch_fsck_coverage(spark, table):
     os.remove(os.path.join(table.path, victim))
     rep = check_table(table)
     assert any(f.code == "branch-file-missing" for f in rep.errors())
+
+
+def test_branch_handle_resolves_own_name(spark, table):
+    """ADVICE r8: snapshot(name)/read_state(bh, name) on a branch handle
+    for its OWN branch returns the branch head instead of raising."""
+    ev = gen.gen_change_events(spark, n_events=300, n_convs=8, seed=91)
+    apply_batch(table, ev)
+    table.create_branch("audit")
+    b = table.on_branch("audit")
+    pdf = ev.toPandas()
+    _apply_slice(spark, b, pdf, ev.schema, 150, 300)
+    own = b.snapshot("audit")
+    assert own.snapshot_id == b.current_version()
+    assert read_state(b, "audit").count() == read_state(b).count()
+
+
+def test_publish_drop_keeps_branch_that_advanced(spark, table, monkeypatch):
+    """ADVICE r8: a branch commit landing between publish's head pin and
+    the drop must not be silently discarded — the branch survives."""
+    ev = gen.gen_change_events(spark, n_events=600, n_convs=8, seed=92)
+    pdf = ev.toPandas()
+    _apply_slice(spark, table, pdf, ev.schema, -1, 200)
+    table.create_branch("wip")
+    b = table.on_branch("wip")
+    _apply_slice(spark, b, pdf, ev.schema, 200, 400)
+    # inject a racing branch commit after publish pinned the head
+    orig_commit = type(table).commit
+    state = {"done": False}
+    def racing_commit(self, *a, **kw):
+        snap = orig_commit(self, *a, **kw)
+        if not state["done"] and kw.get("lineage", {}).get("op") == "branch_publish":
+            state["done"] = True
+            _apply_slice(spark, b, pdf, ev.schema, 400, 600)
+        return snap
+    monkeypatch.setattr(type(table), "commit", racing_commit)
+    table.publish_branch("wip", drop=True)
+    monkeypatch.setattr(type(table), "commit", orig_commit)
+    # the branch still exists and still holds the unpublished commit
+    assert "wip" in table.branches()
+    assert b.current().files  # head readable

@@ -363,3 +363,44 @@ def test_sql_optimize_and_vacuum(spark, tmp_path):
         sql_optimize(spark, "OPTIMIZE mnt SORT BY x", {"mnt": t})
     with pytest.raises(KeyError):
         sql_vacuum(spark, "VACUUM nope", {"mnt": t})
+
+
+def test_sql_insert_requires_key_columns(spark, tmp_path):
+    """ADVICE r8: an explicit column list omitting the key columns would
+    NULL-fill them and land an unjoinable null-key row — must raise."""
+    from rockefeller_spark.sqlapi import sql_insert
+    t, _ = _mk(spark, tmp_path, "insk")
+    with pytest.raises(SqlUnsupportedError, match="key columns"):
+        sql_insert(spark,
+                   "INSERT INTO conv (role, text) VALUES ('user', 'x')",
+                   {"conv": t})
+    with pytest.raises(SqlUnsupportedError, match="duplicate"):
+        sql_insert(spark,
+                   "INSERT INTO conv (conv_id, turn_idx, role, role) "
+                   "VALUES ('a', 1, 'u', 'u')", {"conv": t})
+
+
+def test_sql_update_where_keyword_inside_string_literal(spark, tmp_path):
+    """ADVICE r8: UPDATE/DELETE parse against the masked statement, so a
+    WHERE/SET keyword inside a string literal can't mis-split."""
+    t, _ = _mk(spark, tmp_path, "updlit")
+    key = read_state(t).toPandas().iloc[0]
+    sql_update(
+        spark,
+        f"""UPDATE conv SET text = 'use WHERE clauses wisely'
+            WHERE conv_id = '{key.conv_id}' AND turn_idx = {key.turn_idx}""",
+        {"conv": t})
+    got = (read_state(t)
+           .filter((F.col("conv_id") == key.conv_id)
+                   & (F.col("turn_idx") == int(key.turn_idx)))
+           .toPandas())
+    assert got["text"].iloc[0] == "use WHERE clauses wisely"
+    sql_delete(
+        spark,
+        f"""DELETE FROM conv WHERE text = 'no WHERE here' OR
+            (conv_id = '{key.conv_id}' AND turn_idx = {key.turn_idx})""",
+        {"conv": t})
+    assert (read_state(t)
+            .filter((F.col("conv_id") == key.conv_id)
+                    & (F.col("turn_idx") == int(key.turn_idx)))
+            .count() == 0)
