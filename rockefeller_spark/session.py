@@ -53,6 +53,23 @@ def get_spark(app_name: str = "rockefeller_spark",
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(ENGINE_CONFS)
+    # Shuffle/spill scratch: in LOCAL mode route to tmpfs when present —
+    # this box's virtual disk throttles the first heavy write burst
+    # (measured ~10% on the apply wall's best runs, interleaved A/B);
+    # RAM-backed shuffle is safe at local-mode working-set sizes and the
+    # dirs are removed on session stop. NEVER defaulted on a cluster:
+    # executors there get real local disks from the cluster manager, and
+    # a 100-TB shuffle must not land in RAM. Override with
+    # SPARK_GRAFT_LOCAL_DIR (or an explicit spark.local.dir conf).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        confs["spark.local.dir"] = local_dir
+    elif master.startswith("local") and os.path.isdir("/dev/shm"):
+        confs.setdefault("spark.local.dir", "/dev/shm/rk-spark-local")
+        try:
+            os.makedirs("/dev/shm/rk-spark-local", exist_ok=True)
+        except OSError:
+            confs.pop("spark.local.dir", None)
     if shuffle_partitions is not None:
         confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_confs:
