@@ -208,25 +208,11 @@ def lsh_signbits(df: DataFrame, dim: int, n_planes: int = 16, seed: int = 7,
     per-row transform: dim × n_planes md5 calls per row, ~100× the
     arithmetic for identical output)."""
     planes = hyperplane_signs(dim, n_planes, seed)
-    # ONE flat literal array of all n_planes*dim signs, indexed per plane
-    # — the previous per-plane zip_with carried dim literal leaves per
-    # plane (n_planes*dim*~3 nodes total), and AQE re-canonicalizes the
-    # whole tree at every stage boundary, so plan size was a measurable
-    # driver cost. The fold below reproduces the EXACT float op order of
-    # the zip_with form (a + v[j]*s[p*dim+j], j ascending), so signbits
-    # are bit-identical (verified against the old form on the driver's
-    # embeddings, float and double inputs).
-    flat = F.array(*[F.lit(float(s)) for row in planes for s in row])
-    vec = F.col(vec_col)
-
     def plane_dot(p: int) -> Column:
-        def term(base):
-            return lambda a, j: (
-                a + F.element_at(vec, (j + F.lit(1)).cast("int"))
-                     .cast("double")
-                  * F.element_at(flat, (j + F.lit(base)).cast("int")))
-        return F.aggregate(F.sequence(F.lit(0), F.lit(dim - 1)),
-                           F.lit(0.0), term(p * dim + 1))
+        signs = F.array(*[F.lit(s) for s in planes[p]])
+        return F.aggregate(F.zip_with(F.col(vec_col), signs,
+                                      lambda x, s: x.cast("double") * s),
+                           F.lit(0.0), lambda acc, v: acc + v)
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         sig = sig + F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")) \
