@@ -48,3 +48,26 @@ def test_oracle_replay_basics():
     assert out[out.turn_idx == 0].text.iloc[0] == "b"       # LWW
     assert out[out.turn_idx == 1].text.iloc[0] == "z"       # delete→reinsert
     assert (out.turn_idx != 2).all()                        # tombstone hidden
+
+
+def test_gen_scramble_is_bijective_and_disordered(spark):
+    """Round-9 optimization invariant: the shuffle-free segment-local
+    scramble must produce EXACTLY the identity mapping's row multiset
+    (it is a per-segment bijection of the row index), while no partition
+    is LSN-monotonic (out-of-order delivery preserved)."""
+    from pyspark.sql import functions as F
+    for n, seed, parts in [(2000, 7, 4), (4097, 5, 3), (50000, 42, 8)]:
+        a = gen.gen_change_events(spark, n_events=n, n_convs=50, seed=seed,
+                                  num_partitions=parts)
+        b = gen.gen_change_events(spark, n_events=n, n_convs=50, seed=seed,
+                                  shuffled=False, num_partitions=parts)
+        da = a.groupBy(*a.columns).count()
+        db = b.groupBy(*b.columns).count()
+        assert da.exceptAll(db).count() == 0
+        assert db.exceptAll(da).count() == 0
+    ev = gen.gen_change_events(spark, n_events=50000, n_convs=100, seed=42,
+                               num_partitions=4)
+    part = (ev.select("lsn", F.spark_partition_id().alias("p"))
+            .toPandas())
+    assert not part.groupby("p")["lsn"].apply(
+        lambda s: s.is_monotonic_increasing).any()
