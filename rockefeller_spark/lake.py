@@ -70,6 +70,7 @@ import logging
 import os
 import re
 import shutil
+import threading
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -753,6 +754,23 @@ def bloom_might_contain(b64: str, key: str) -> bool:
         if not bits[p >> 3] & (1 << (p & 7)):
             return False
     return True
+
+
+_STATS_POOL: "ThreadPoolExecutor | None" = None
+_STATS_POOL_LOCK = threading.Lock()
+
+
+def _stats_pool() -> ThreadPoolExecutor:
+    """Process-wide executor for parquet footer-stat reads (stateless
+    tasks; shared across tables and sessions so commits don't re-pay
+    thread startup)."""
+    global _STATS_POOL
+    if _STATS_POOL is None:
+        with _STATS_POOL_LOCK:
+            if _STATS_POOL is None:
+                _STATS_POOL = ThreadPoolExecutor(
+                    max_workers=16, thread_name_prefix="rk-footer-stats")
+    return _STATS_POOL
 
 
 class LakeTable:
@@ -1499,9 +1517,12 @@ class LakeTable:
 
         # footer stats are tiny independent I/O reads; done serially they
         # dominate small-batch commits (≤n_buckets files × ~20 ms each),
-        # so fan them out on a thread pool — order preserved by map
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            files = list(pool.map(stat_one, moves))
+        # so fan them out on a thread pool — order preserved by map.
+        # The pool is PROCESS-SHARED and long-lived: creating a fresh
+        # executor per stage write cost ~0.37 s of bare thread startup
+        # per apply on this host (cProfile: threading.start dominated the
+        # stat pass), a fixed tax on every micro-batch commit.
+        files = list(_stats_pool().map(stat_one, moves))
         shutil.rmtree(stage)
         return files
 
